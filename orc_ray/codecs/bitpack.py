@@ -1,0 +1,144 @@
+"""Vectorized MSB-first bit packing at the ORC fixed bit widths.
+
+Re-creation of the reference's pack/unpack kernels
+(/root/reference/utils.go:271-343 writeInts + unrolled fast paths 345-702,
+readInts 752-804 + unrolled 806-1177) as numpy array kernels instead of
+per-value shift loops. Bits are written MSB-first within each value and
+packed contiguously across bytes; a trailing partial byte is zero-padded in
+its low bits (identical to the reference's flush).
+
+Width tables re-create /root/reference/utils.go:48-141 (5-bit width codes,
+closest fixed / closest aligned widths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+_U8 = np.uint8
+
+# Widths encodable in the 5-bit header code, in code order (codes 0..31).
+DECODE_BIT_WIDTH = np.array(
+    list(range(1, 25)) + [26, 28, 30, 32, 40, 48, 56, 64], dtype=np.int64
+)
+assert len(DECODE_BIT_WIDTH) == 32
+
+# width (0..64) -> header code
+_ENCODE_BW = np.zeros(65, dtype=np.int64)
+for _code, _w in enumerate(DECODE_BIT_WIDTH):
+    _ENCODE_BW[_w] = _code
+# widths not directly encodable round up to the next encodable width's code
+_prev = 0
+for _w in range(1, 65):
+    if _ENCODE_BW[_w] == 0 and _w != 1:
+        # find next encodable width >= w
+        _nxt = int(DECODE_BIT_WIDTH[np.searchsorted(DECODE_BIT_WIDTH, _w)])
+        _ENCODE_BW[_w] = _ENCODE_BW[_nxt]
+
+# width (0..64) -> closest encodable fixed width (>= width, 0 -> 1)
+_CLOSEST_FIXED = np.zeros(65, dtype=np.int64)
+_CLOSEST_FIXED[0] = 1
+for _w in range(1, 65):
+    _CLOSEST_FIXED[_w] = int(DECODE_BIT_WIDTH[np.searchsorted(DECODE_BIT_WIDTH, _w)])
+
+_ALIGNED = np.array([1, 2, 4, 8, 16, 24, 32, 40, 48, 56, 64], dtype=np.int64)
+_CLOSEST_ALIGNED = np.zeros(65, dtype=np.int64)
+_CLOSEST_ALIGNED[0] = 1
+for _w in range(1, 65):
+    _CLOSEST_ALIGNED[_w] = int(_ALIGNED[np.searchsorted(_ALIGNED, _w)])
+
+
+def encode_bit_width(w: int) -> int:
+    return int(_ENCODE_BW[w])
+
+
+def decode_bit_width(code: int) -> int:
+    return int(DECODE_BIT_WIDTH[code])
+
+
+def get_closest_fixed_bits(w: int) -> int:
+    return int(_CLOSEST_FIXED[w])
+
+
+def get_closest_aligned_fixed_bits(w: int) -> int:
+    return int(_CLOSEST_ALIGNED[w])
+
+
+def bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Per-element bit length of a uint64 array (0 -> 0)."""
+    x = np.ascontiguousarray(x, dtype=_U64)
+    r = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        m = v >= (_U64(1) << _U64(s))
+        r[m] += s
+        v[m] >>= _U64(s)
+    r[x != 0] += 1
+    return r
+
+
+def closest_fixed_bits_arr(x_u64: np.ndarray) -> np.ndarray:
+    """Vectorized findClosestNumBits (utils.go:262-269): bit length rounded
+    up to an encodable fixed width (0 -> 1)."""
+    return _CLOSEST_FIXED[bit_length_u64(x_u64)]
+
+
+def percentile_bits(x_u64: np.ndarray, p: float) -> int:
+    """Vectorized percentileBits (utils.go:233-260): width such that at
+    least p of the values fit, walking the 32-bin width histogram from the
+    top."""
+    widths = closest_fixed_bits_arr(x_u64)
+    hist = np.bincount(_ENCODE_BW[widths], minlength=32)
+    per_len = float(len(x_u64)) * (1.0 - p)
+    for i in range(31, -1, -1):
+        per_len -= float(hist[i])
+        if per_len < 0:
+            return int(DECODE_BIT_WIDTH[i])
+    return 0
+
+
+def pack_bits(vals: np.ndarray, width: int) -> bytes:
+    """Pack the low ``width`` bits of each uint64 value, MSB-first,
+    contiguous across bytes. Caller guarantees values fit in ``width`` bits
+    (excess high bits are masked off)."""
+    vals = np.ascontiguousarray(vals, dtype=_U64)
+    n = len(vals)
+    if n == 0:
+        return b""
+    if width >= 64:
+        return vals.byteswap().tobytes()
+    vals = vals & ((_U64(1) << _U64(width)) - _U64(1))
+    if width % 8 == 0:
+        k = width // 8
+        be = vals.byteswap().view(_U8).reshape(n, 8)[:, 8 - k:]
+        return np.ascontiguousarray(be).tobytes()
+    # generic: explicit bit matrix, MSB-first per value
+    shifts = (_U64(width) - _U64(1) - np.arange(width, dtype=_U64))
+    bits = ((vals[:, None] >> shifts[None, :]) & _U64(1)).astype(_U8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def unpack_bits(buf, width: int, count: int, offset: int = 0) -> tuple[np.ndarray, int]:
+    """Unpack ``count`` uint64 values of ``width`` bits from ``buf`` starting
+    at byte ``offset``. Returns (values, new_offset). The bit stream always
+    starts on a byte boundary (each RLE run is byte-aligned)."""
+    nbytes = (count * width + 7) // 8
+    raw = np.frombuffer(buf, dtype=_U8, count=nbytes, offset=offset)
+    if count == 0:
+        return np.empty(0, dtype=_U64), offset
+    if width == 64:
+        out = raw.view(">u8").astype(_U64)
+        return out, offset + nbytes
+    if width % 8 == 0:
+        k = width // 8
+        m = raw.reshape(count, k).astype(_U64)
+        out = np.zeros(count, dtype=_U64)
+        for j in range(k):
+            out = (out << _U64(8)) | m[:, j]
+        return out, offset + nbytes
+    bits = np.unpackbits(raw)[: count * width].reshape(count, width)
+    out = np.zeros(count, dtype=_U64)
+    for j in range(width):
+        out = (out << _U64(1)) | bits[:, j].astype(_U64)
+    return out, offset + nbytes
