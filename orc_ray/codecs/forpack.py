@@ -1,0 +1,50 @@
+"""Frame-of-reference + bit-pack codec.
+
+Standalone FOR codec (the non-patched core of the reference's PATCHED_BASE
+sub-mode, /root/reference/runlengthintegerwriterv2.go:609-699): subtract the
+chunk minimum, bit-pack the residuals at the max residual width. Unlike
+RLEv2 it has no run adaptivity — it wins on near-uniform distributions
+(e.g. token ids) where RLEv2's per-512-scope headers cost more than they
+save, and it decodes faster (one unpack, no chunk walk).
+
+Layout: varint(n) + vslong(min) + u8(width) + packed residuals.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .bitpack import pack_bits, unpack_bits
+from .varint import read_vslong, read_vulong, write_vslong, write_vulong
+
+_U64 = np.uint64
+_I64 = np.int64
+
+
+def encode(values: np.ndarray) -> bytes:
+    v = np.ascontiguousarray(values, dtype=_I64)
+    out = bytearray()
+    write_vulong(out, len(v))
+    if len(v) == 0:
+        return bytes(out)
+    vmin = int(v.min())
+    vmax = int(v.max())
+    write_vslong(out, vmin)
+    span = vmax - vmin  # python ints: no overflow
+    width = max(1, span.bit_length())
+    out.append(width)
+    # residuals computed mod 2^64: exact since 0 <= residual <= span < 2^64
+    residuals = v.view(_U64) - np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)
+    out.extend(pack_bits(residuals, width))
+    return bytes(out)
+
+
+def decode(buf: bytes) -> np.ndarray:
+    n, pos = read_vulong(buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    vmin, pos = read_vslong(buf, pos)
+    width = buf[pos]
+    pos += 1
+    residuals, pos = unpack_bits(buf, width, n, pos)
+    return (residuals + np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
