@@ -1,0 +1,57 @@
+"""Encoder configuration.
+
+Defaults mirror the reference writer's structural constants
+(/root/reference/writer.go:18-27) where they carry over; stripe sizing is
+expressed in tokens (the dominant payload) rather than buffered bytes
+because the input's cost driver is the ragged ``tokens`` list column.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class EncoderConfig:
+    # stripe cut: a stripe closes when it holds ~this many token values
+    # (200 MiB of int32 tokens ~= 50M; small default keeps test stripes real)
+    stripe_target_tokens: int = 4_000_000
+    # also cap rows per stripe (writer.go:21 DefaultStripeTargetRowCount)
+    stripe_target_rows: int = 1_048_576
+    # dictionary iff distinct/total <= threshold (treewriter.go:537)
+    dict_threshold: float = 0.49
+    # candidates for integer DATA streams, in preference order on ties
+    int_candidates: tuple[str, ...] = ("rle2", "rle2_delta", "for")
+    # string blob handling: auto tries fsst/zlib/none by measured size
+    string_blob_candidates: tuple[str, ...] = ("fsst", "zlib", "none")
+    # optional outer chunked-zlib over each encoded stream (compressioncodec.go)
+    outer_compression: str = "none"  # "none" | "zlib"
+    zlib_level: int = 6
+    # selector sampling: streams larger than this are chosen on a sample
+    selector_sample_values: int = 65_536
+    # stateful selector re-evaluates a cached per-(source,stream) choice
+    # every N chunks (stripe-granular stability like ORC's writer)
+    selector_recheck_every: int = 8
+    fsst_iterations: int = 5
+
+    def to_dict(self) -> dict:
+        return {
+            "stripe_target_tokens": self.stripe_target_tokens,
+            "stripe_target_rows": self.stripe_target_rows,
+            "dict_threshold": self.dict_threshold,
+            "int_candidates": list(self.int_candidates),
+            "string_blob_candidates": list(self.string_blob_candidates),
+            "outer_compression": self.outer_compression,
+            "zlib_level": self.zlib_level,
+            "selector_sample_values": self.selector_sample_values,
+            "selector_recheck_every": self.selector_recheck_every,
+            "fsst_iterations": self.fsst_iterations,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "EncoderConfig":
+        d = dict(d)
+        for k in ("int_candidates", "string_blob_candidates"):
+            if k in d:
+                d[k] = tuple(d[k])
+        return cls(**d)

@@ -1,0 +1,119 @@
+"""Per-column-chunk codec auto-selection.
+
+Re-creates the reference writer's encoding decisions as an explicit,
+deterministic selector:
+- integer sub-mode choice inside RLEv2 happens per 512-value scope in the
+  kernel itself (determineEncoding, runlengthintegerwriterv2.go:265-402);
+- THIS module picks between whole-stream codecs (rle2 vs delta-of-values
+  rle2 vs frame-of-reference) and between dictionary/direct/FSST string
+  layouts — the analogue of useDictionaryEncoding
+  (/root/reference/treewriter.go:694-707) extended with measured-size
+  tie-breaks.
+
+Choices are pure functions of chunk-local statistics (sampled for large
+chunks), so a retried/resumed task re-encodes a partition identically.
+``SelectorState`` adds an optional warm-start cache per (source, stream):
+a stateful map_batches actor keeps it across batches and only re-measures
+every ``recheck_every`` chunks, matching ORC's stripe-granular stability
+without making the output depend on actor history (the cached choice is
+itself recorded in the manifest).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .codecs import forpack, rle2
+from .config import EncoderConfig
+
+
+def _sample(values: np.ndarray, max_n: int) -> np.ndarray:
+    """Deterministic strided sample of ~max_n values."""
+    n = len(values)
+    if n <= max_n:
+        return values
+    step = n // max_n
+    return values[:: step][:max_n]
+
+
+def _delta_view(values: np.ndarray) -> np.ndarray:
+    """Global first-order deltas (invertible by cumsum regardless of row
+    boundaries)."""
+    d = np.empty_like(values)
+    if len(values):
+        d[0] = values[0]
+        np.subtract(values[1:], values[:-1], out=d[1:])
+    return d
+
+
+def encode_int_stream(values: np.ndarray, codec: str, signed: bool) -> bytes:
+    if codec == "rle2":
+        return rle2.encode(values, signed)
+    if codec == "rle2_delta":
+        return rle2.encode(_delta_view(values), True)
+    if codec == "for":
+        return forpack.encode(values)
+    if codec == "bytes":
+        return np.ascontiguousarray(values, dtype=np.int64).tobytes()
+    raise ValueError(f"unknown int codec {codec!r}")
+
+
+def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int) -> np.ndarray:
+    if codec == "rle2":
+        return rle2.decode(buf, signed, n)
+    if codec == "rle2_delta":
+        return np.cumsum(rle2.decode(buf, True, n), dtype=np.int64)
+    if codec == "for":
+        return forpack.decode(buf)
+    if codec == "bytes":
+        return np.frombuffer(buf, dtype=np.int64, count=n)
+    raise ValueError(f"unknown int codec {codec!r}")
+
+
+def choose_int_codec(
+    values: np.ndarray,
+    signed: bool,
+    config: EncoderConfig,
+    candidates: tuple[str, ...] | None = None,
+) -> str:
+    """Pick the cheapest codec by measured size on a deterministic sample."""
+    candidates = candidates or config.int_candidates
+    if len(candidates) == 1 or len(values) == 0:
+        return candidates[0]
+    s = _sample(values, config.selector_sample_values)
+    best, best_size = None, None
+    for c in candidates:
+        try:
+            size = len(encode_int_stream(s, c, signed))
+        except Exception:
+            continue
+        if best_size is None or size < best_size:
+            best, best_size = c, size
+    return best or candidates[0]
+
+
+class SelectorState:
+    """Warm-start cache for a stateful encoder actor: remembers the winning
+    codec per (group, stream) and only re-measures every Nth chunk."""
+
+    def __init__(self, config: EncoderConfig):
+        self.config = config
+        self._choice: dict[tuple[str, str], str] = {}
+        self._count: dict[tuple[str, str], int] = {}
+
+    def choose_int(
+        self,
+        group: str,
+        stream: str,
+        values: np.ndarray,
+        signed: bool,
+        candidates: tuple[str, ...] | None = None,
+    ) -> str:
+        key = (group, stream)
+        cnt = self._count.get(key, 0)
+        self._count[key] = cnt + 1
+        if key in self._choice and cnt % self.config.selector_recheck_every != 0:
+            return self._choice[key]
+        choice = choose_int_codec(values, signed, self.config, candidates)
+        self._choice[key] = choice
+        return choice

@@ -1,0 +1,159 @@
+"""Stripe encode/decode round-trips on the token-table schema and on the
+wider type matrix (FIXTURES.md F1/F4; reference e2e writer_test.go:29-327)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from orc_ray.config import EncoderConfig
+from orc_ray.selector import SelectorState
+from orc_ray.stripe import decode_blob, encode_table
+
+
+def make_token_table(n=2000, seed=42):
+    rng = np.random.default_rng(seed)
+    sources = np.array([f"src{i}" for i in range(8)])
+    src = sources[rng.integers(0, 8, n)]
+    n_tok = np.clip(rng.lognormal(4.0, 1.0, n).astype(np.int32), 1, 5000)
+    doc_id = np.array([f"{s}-{i:012d}" for i, s in enumerate(src)])
+    parts = []
+    for i in range(n):
+        k = int(n_tok[i])
+        mode = i % 3
+        if mode == 0:
+            parts.append(rng.integers(0, 50257, k, dtype=np.int32))
+        elif mode == 1:
+            parts.append(np.full(k, rng.integers(0, 50257), dtype=np.int32))
+        else:
+            start = int(rng.integers(0, 1000))
+            parts.append((start + np.arange(k) % 40000).astype(np.int32))
+    values = np.concatenate(parts)
+    offsets = np.zeros(n + 1, dtype=np.int32)
+    np.cumsum(n_tok, out=offsets[1:])
+    tokens = pa.ListArray.from_arrays(pa.array(offsets), pa.array(values, type=pa.int32()))
+    return pa.table({
+        "doc_id": pa.array(doc_id.tolist(), type=pa.string()),
+        "tokens": tokens,
+        "n_tok": pa.array(n_tok, type=pa.int32()),
+        "source": pa.array(src.tolist(), type=pa.string()),
+    })
+
+
+def _roundtrip(table, config=None):
+    blob, meta = encode_table(table, config)
+    out = decode_blob(blob, meta)
+    assert out.schema == table.schema
+    assert out.equals(table)
+    return blob, meta
+
+
+def test_token_table_roundtrip():
+    table = make_token_table()
+    blob, meta = _roundtrip(table)
+    raw = sum(
+        buf.size for col in table.columns for chunk in col.chunks
+        for buf in chunk.buffers() if buf is not None
+    )
+    assert len(blob) < raw  # must actually compress
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["source"]["encoding"] == "dict"  # 8 distinct / 2000
+    assert cols["doc_id"]["encoding"] == "direct"  # unique -> above 0.49
+    assert cols["tokens"]["encoding"] == "list"
+    assert cols["n_tok"]["stats"]["sum"] == int(np.sum(table["n_tok"].to_numpy()))
+
+
+def test_token_table_roundtrip_with_selector_state():
+    table = make_token_table(500)
+    cfg = EncoderConfig()
+    sel = SelectorState(cfg)
+    for _ in range(3):  # repeated chunks exercise the warm cache
+        blob, meta = encode_table(table, cfg, selector=sel, group="src0")
+        out = decode_blob(blob, meta)
+        assert out.equals(table)
+
+
+def test_outer_zlib_roundtrip():
+    table = make_token_table(300)
+    _roundtrip(table, EncoderConfig(outer_compression="zlib"))
+
+
+def test_column_projection():
+    table = make_token_table(200)
+    blob, meta = encode_table(table)
+    out = decode_blob(blob, meta, columns=["n_tok", "source"])
+    assert out.column_names == ["n_tok", "source"]
+    assert out.column("n_tok").to_pylist() == table.column("n_tok").to_pylist()
+    assert out.column("source").to_pylist() == table.column("source").to_pylist()
+
+
+def test_type_matrix_roundtrip():
+    n = 500
+    rng = np.random.default_rng(1)
+    table = pa.table({
+        "i8": pa.array(rng.integers(-128, 128, n, dtype=np.int64), type=pa.int8()),
+        "i16": pa.array(rng.integers(-1000, 1000, n), type=pa.int16()),
+        "i32": pa.array(rng.integers(-(2**31), 2**31, n), type=pa.int32()),
+        "i64": pa.array(rng.integers(-(2**62), 2**62, n), type=pa.int64()),
+        "u32": pa.array(rng.integers(0, 2**32, n), type=pa.uint32()),
+        "f32": pa.array(rng.random(n).astype(np.float32), type=pa.float32()),
+        "f64": pa.array(rng.random(n), type=pa.float64()),
+        "b": pa.array(rng.random(n) < 0.5, type=pa.bool_()),
+        "s": pa.array([f"value-{i % 37}" for i in range(n)], type=pa.string()),
+        "bin": pa.array([bytes([i % 256, 255 - i % 256]) for i in range(n)], type=pa.binary()),
+        "d32": pa.array(rng.integers(0, 20000, n).astype("datetime64[D]"), type=pa.date32()),
+        "ts": pa.array(rng.integers(0, 2**40, n), type=pa.timestamp("us")),
+    })
+    _roundtrip(table)
+
+
+def test_nulls_every_fifth_row():
+    # writer_test.go:372-437 analogue
+    n = 100
+    ints = [None if i % 5 == 0 else i for i in range(n)]
+    strs = [None if i % 5 == 0 else f"s{i % 9}" for i in range(n)]
+    bools = [None if i % 3 == 0 else (i % 2 == 0) for i in range(n)]
+    floats = [None if i % 7 == 0 else i * 1.5 for i in range(n)]
+    table = pa.table({
+        "i": pa.array(ints, type=pa.int64()),
+        "s": pa.array(strs, type=pa.string()),
+        "b": pa.array(bools, type=pa.bool_()),
+        "f": pa.array(floats, type=pa.float64()),
+    })
+    _roundtrip(table)
+
+
+def test_all_null_column():
+    table = pa.table({"i": pa.array([None] * 50, type=pa.int64())})
+    _roundtrip(table)
+
+
+def test_constant_int_column():
+    # writer_test.go:264-327 analogue
+    table = pa.table({"int1": pa.array([42] * 10, type=pa.int64())})
+    blob, meta = _roundtrip(table)
+    assert len(blob) < 24
+
+
+def test_empty_strings_and_high_cardinality():
+    n = 400
+    table = pa.table({
+        "lowcard": pa.array([["a", "bb", ""][i % 3] for i in range(n)]),
+        "highcard": pa.array([f"u{i:08d}" for i in range(n)]),
+    })
+    blob, meta = _roundtrip(table)
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["lowcard"]["encoding"] == "dict"
+    assert cols["highcard"]["encoding"] == "direct"
+
+
+def test_sliced_table_roundtrip():
+    table = make_token_table(300).slice(37, 150)
+    _roundtrip(table)
+
+
+def test_large_list_roundtrip():
+    vals = pa.array(np.arange(1000), type=pa.int64())
+    offsets = pa.array(np.arange(0, 1001, 10), type=pa.int64())
+    lst = pa.LargeListArray.from_arrays(offsets, vals)
+    table = pa.table({"ll": lst})
+    _roundtrip(table)
