@@ -1,0 +1,127 @@
+"""Round-trip verification: per-row token-array equality at scale.
+
+The per-row invariant (BASELINE.json input_hint) is token-array equality
+between input and decoded output. Rows may be re-ordered across partitions,
+so verification is order-insensitive: every row gets a 64-bit content hash
+(position-sensitive polynomial over its tokens, mixed with doc_id bytes,
+n_tok and source), and the multiset of row hashes is compared through
+commutative reductions (count / sum mod 2^64 / xor). Both sides stream
+through ``map_batches``; only (count, sum, xor) triples reach the driver —
+no materialization, no shuffle (cf. SURVEY.md §2.7: verification keyed on
+content, not a distributed join).
+
+Small-scale tests additionally do exact row-by-row comparison after a sort.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_U64 = np.uint64
+_P = _U64(0x100000001B3)  # FNV-ish odd multiplier
+_K = _U64(0x9E3779B97F4A7C15)
+
+
+def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
+    """base**exp mod 2^64, vectorized binary exponentiation."""
+    result = np.ones(len(exp), dtype=_U64)
+    b = int(base)
+    e = exp.astype(_U64)
+    maxe = int(e.max()) if len(e) else 0
+    bit = 0
+    while (1 << bit) <= maxe:
+        mask = (e >> _U64(bit)) & _U64(1) == 1
+        result[mask] *= _U64(b)
+        b = (b * b) & 0xFFFFFFFFFFFFFFFF
+        bit += 1
+    return result
+
+
+def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """Per-segment hash sum((v+K) * P^pos_in_segment) mod 2^64."""
+    n = len(offsets) - 1
+    if len(values) == 0:
+        return np.zeros(n, dtype=_U64)
+    lengths = np.diff(offsets)
+    pos = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+    terms = (values.astype(_U64) + _K) * _pow_mod64(_P, pos)
+    out = np.zeros(n, dtype=_U64)
+    seg_sums = np.add.reduceat(terms, offsets[:-1][lengths > 0])
+    out[lengths > 0] = seg_sums
+    return out
+
+
+def _string_hashes(arr: pa.Array) -> np.ndarray:
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_dictionary(arr.type):
+        arr = arr.cast(pa.string())
+    off_dtype = np.int64 if pa.types.is_large_string(arr.type) else np.int32
+    bufs = arr.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype)[
+        arr.offset: arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None else np.empty(0, np.uint8)
+    blob = data[offsets[0]: offsets[-1]]
+    return _poly_hash_segments(blob, offsets - offsets[0])
+
+
+def row_hashes(batch: pa.Table) -> np.ndarray:
+    """64-bit per-row content hash over the token-table columns present."""
+    n = batch.num_rows
+    h = np.full(n, _K, dtype=_U64)
+    if "tokens" in batch.column_names:
+        col = batch.column("tokens")
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_list(col.type) else np.int32
+        offsets = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+            col.offset: col.offset + n + 1
+        ].astype(np.int64)
+        vals_arr = col.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+        vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        h = h * _P + _poly_hash_segments(vals, offsets - offsets[0])
+    for name in ("doc_id", "source"):
+        if name in batch.column_names:
+            h = h * _P + _string_hashes(batch.column(name))
+    if "n_tok" in batch.column_names:
+        v = batch.column("n_tok").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = h * _P + v.view(_U64)
+    return h
+
+
+def _partial(batch: pa.Table) -> pa.Table:
+    h = row_hashes(batch)
+    return pa.table({
+        "count": pa.array([len(h)], type=pa.int64()),
+        "hsum": pa.array([int(h.sum(dtype=_U64))], type=pa.uint64()),
+        "hxor": pa.array([int(np.bitwise_xor.reduce(h)) if len(h) else 0], type=pa.uint64()),
+    })
+
+
+def checksum_dataset(ds) -> dict:
+    """Streaming multiset checksum of a token Dataset."""
+    parts = ds.map_batches(_partial, batch_format="pyarrow").take_all()
+    count = sum(p["count"] for p in parts)
+    hsum = 0
+    hxor = 0
+    for p in parts:
+        hsum = (hsum + int(p["hsum"])) & 0xFFFFFFFFFFFFFFFF
+        hxor ^= int(p["hxor"])
+    return {"count": count, "hsum": hsum, "hxor": hxor}
+
+
+def checksum_table(t: pa.Table) -> dict:
+    h = row_hashes(t)
+    return {
+        "count": len(h),
+        "hsum": int(h.sum(dtype=_U64)),
+        "hxor": int(np.bitwise_xor.reduce(h)) if len(h) else 0,
+    }
+
+
+def verify_roundtrip(original_ds, decoded_ds) -> dict:
+    a = checksum_dataset(original_ds)
+    b = checksum_dataset(decoded_ds)
+    return {"match": a == b, "original": a, "decoded": b}

@@ -1,0 +1,129 @@
+"""Per-partition manifests: the engine's file footer *and* checkpoint.
+
+The reference writes a protobuf footer once at Close (writer.go:483-497), so
+a crashed writer leaves nothing readable. Here every partition commits
+independently:
+
+    out_dir/
+      blobs/part-{pid:06d}-{stripe:03d}.strp   (stripe blobs)
+      manifest/part-{pid:06d}.parquet          (commit marker, 1 row/stripe)
+
+A partition is complete iff its manifest file exists; blobs are written via
+tmp-file + atomic rename first, the manifest last. Resume = skip partitions
+whose manifest exists (idempotent: partition ids are deterministic functions
+of the input plan, never of scheduling). The manifest rows carry lineage
+(input file, row range), per-column codec choices, byte counts and stats —
+the analogue of StripeInformation + column statistics
+(proto/orc.proto:172-178, columnstatistics.go:9-63).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+MANIFEST_SCHEMA = pa.schema([
+    ("partition_id", pa.int64()),
+    ("stripe_id", pa.int64()),
+    ("blob_path", pa.string()),
+    ("num_rows", pa.int64()),
+    ("num_tokens", pa.int64()),
+    ("raw_bytes", pa.int64()),
+    ("encoded_bytes", pa.int64()),
+    ("input_file", pa.string()),
+    ("row_start", pa.int64()),
+    ("row_count", pa.int64()),
+    ("first_doc_id", pa.string()),
+    ("last_doc_id", pa.string()),
+    ("meta_json", pa.string()),
+])
+
+
+def blobs_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "blobs")
+
+
+def manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifest")
+
+
+def ensure_dirs(out_dir: str) -> None:
+    os.makedirs(blobs_dir(out_dir), exist_ok=True)
+    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+
+
+def blob_name(pid: int, stripe: int) -> str:
+    return f"part-{pid:06d}-{stripe:03d}.strp"
+
+
+def manifest_path(out_dir: str, pid: int) -> str:
+    return os.path.join(manifest_dir(out_dir), f"part-{pid:06d}.parquet")
+
+
+def write_blob_atomic(out_dir: str, pid: int, stripe: int, blob: bytes) -> str:
+    rel = blob_name(pid, stripe)
+    path = os.path.join(blobs_dir(out_dir), rel)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)
+    return rel
+
+
+def commit_partition(out_dir: str, pid: int, rows: list[dict]) -> pa.Table:
+    """Write the partition's manifest atomically (the commit point)."""
+    table = pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
+    path = manifest_path(out_dir, pid)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    return table
+
+
+def completed_partitions(out_dir: str) -> set[int]:
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return set()
+    out = set()
+    for name in os.listdir(mdir):
+        if name.startswith("part-") and name.endswith(".parquet"):
+            out.add(int(name[5:11]))
+    return out
+
+
+def read_manifest(out_dir: str) -> pa.Table:
+    mdir = manifest_dir(out_dir)
+    files = sorted(
+        os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet")
+    )
+    if not files:
+        return MANIFEST_SCHEMA.empty_table()
+    return pa.concat_tables([pq.read_table(f) for f in files])
+
+
+def manifest_summary(out_dir: str) -> dict:
+    """File-level statistics merge (the analogue of the footer's file stats,
+    writer.go:458-479): totals + per-codec stream histogram."""
+    t = read_manifest(out_dir)
+    rows = t.num_rows
+    summary = {
+        "partitions": len(set(t.column("partition_id").to_pylist())) if rows else 0,
+        "stripes": rows,
+        "num_rows": sum(t.column("num_rows").to_pylist()),
+        "num_tokens": sum(t.column("num_tokens").to_pylist()),
+        "raw_bytes": sum(t.column("raw_bytes").to_pylist()),
+        "encoded_bytes": sum(t.column("encoded_bytes").to_pylist()),
+    }
+    codec_hist: dict[str, int] = {}
+    for mj in t.column("meta_json").to_pylist():
+        meta = json.loads(mj)
+        for s in meta["streams"]:
+            key = f"{s['column']}:{s['kind']}:{s['codec']}"
+            codec_hist[key] = codec_hist.get(key, 0) + s["length"]
+    summary["stream_bytes_by_codec"] = codec_hist
+    if summary["num_tokens"]:
+        summary["bytes_per_token"] = summary["encoded_bytes"] / summary["num_tokens"]
+    return summary

@@ -1,0 +1,157 @@
+"""End-to-end Ray Data pipeline tests: plan -> encode -> manifest ->
+decode -> verify (token-array equality), resume semantics (FIXTURES.md F5),
+streaming encode path, and the size-aware planner under skew."""
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_ray.config import EncoderConfig
+from orc_ray.pipelines.decode import decode_dataset, decode_table
+from orc_ray.pipelines.encode import encode_dataset_streaming, encode_job, split_stripes
+from orc_ray.pipelines.verify import checksum_dataset, checksum_table, verify_roundtrip
+from orc_ray.sources.planner import plan_partitions, read_partition
+from orc_ray.sources.tokens import synthesize_tokens, write_synthetic_shards
+from orc_ray.state import manifest as mf
+
+
+@pytest.fixture(scope="module")
+def token_shards(tmp_path_factory):
+    d = tmp_path_factory.mktemp("tokens")
+    paths = write_synthetic_shards(str(d), num_rows=4000, num_shards=4,
+                                   seed=7, rows_per_row_group=256)
+    return paths
+
+
+def test_planner_respects_target(token_shards):
+    specs = plan_partitions(token_shards, target_tokens=200_000)
+    assert len(specs) > 1
+    total_rows = sum(s.row_count for s in specs)
+    assert total_rows == 4000
+    # contiguity & determinism
+    specs2 = plan_partitions(token_shards, target_tokens=200_000)
+    assert [s.to_dict() for s in specs] == [s.to_dict() for s in specs2]
+    # no partition (except single-row ones) wildly exceeds target
+    for s in specs:
+        assert s.est_tokens <= 2 * 200_000 or s.row_count == 1
+
+
+def test_planner_skew_giant_doc(tmp_path):
+    # one doc bigger than the whole target must land in its own partition
+    t = synthesize_tokens(50, seed=1)
+    giant = synthesize_tokens(1, seed=2, mean_log=11.5, sigma_log=0.01)  # ~1e5 tokens
+    table = pa.concat_tables([t, giant, t]).combine_chunks()
+    p = str(tmp_path / "skew.parquet")
+    pq.write_table(table, p, row_group_size=16)
+    specs = plan_partitions([p], target_tokens=30_000)
+    big = [s for s in specs if s.row_count == 1 and s.est_tokens > 30_000]
+    assert big, "giant doc should be isolated"
+    got = pa.concat_tables([read_partition(s.to_dict()) for s in specs])
+    assert got.num_rows == table.num_rows
+    assert checksum_table(got) == checksum_table(table)
+
+
+def test_split_stripes_budget():
+    t = synthesize_tokens(500, seed=3)
+    cfg = EncoderConfig(stripe_target_tokens=20_000)
+    stripes = split_stripes(t, cfg)
+    assert sum(s.num_rows for s in stripes) == 500
+    n_tok = t.column("n_tok").to_numpy()
+    for s in stripes:
+        tok = int(np.sum(s.column("n_tok").to_numpy()))
+        assert tok <= 20_000 or s.num_rows == 1
+    assert len(stripes) >= int(n_tok.sum()) // 20_000
+
+
+def test_encode_decode_verify_e2e(ray_session, token_shards, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "enc")
+    cfg = EncoderConfig(stripe_target_tokens=100_000)
+    summary = encode_job(token_shards, out, cfg, concurrency=2)
+    assert summary["num_rows"] == 4000
+    assert summary["encoded_bytes"] < summary["raw_bytes"]
+    assert summary["bytes_per_token"] < 2.5  # int32 tokens: must beat 4 B/token
+
+    original = ray.data.read_parquet(token_shards)
+    decoded = decode_dataset(out, concurrency=2)
+    res = verify_roundtrip(original, decoded)
+    assert res["match"], res
+
+    # exact per-row equality after sort (small scale)
+    dt = decode_table(out).sort_by("doc_id")
+    ot = pq.read_table(token_shards[0])
+    for p in token_shards[1:]:
+        ot = pa.concat_tables([ot, pq.read_table(p)])
+    ot = ot.sort_by("doc_id")
+    assert dt.column("tokens").to_pylist() == ot.column("tokens").to_pylist()
+    assert dt.column("doc_id").to_pylist() == ot.column("doc_id").to_pylist()
+
+
+def test_column_projection_pipeline(ray_session, token_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_job(token_shards, out, EncoderConfig(stripe_target_tokens=100_000),
+               concurrency=2)
+    t = decode_table(out, columns=["source", "n_tok"])
+    assert t.column_names == ["source", "n_tok"]
+    assert t.num_rows == 4000
+
+
+def test_resume_skips_completed(ray_session, token_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    cfg = EncoderConfig(stripe_target_tokens=100_000)
+    s1 = encode_job(token_shards, out, cfg, concurrency=2)
+    assert s1["skipped"] == 0
+
+    # simulate partial failure: drop 3 partitions' manifests + blobs
+    done = sorted(mf.completed_partitions(out))
+    victims = done[:3]
+    for pid in victims:
+        os.remove(mf.manifest_path(out, pid))
+        for f in os.listdir(mf.blobs_dir(out)):
+            if f.startswith(f"part-{pid:06d}-"):
+                os.remove(os.path.join(mf.blobs_dir(out), f))
+    before = {
+        f: os.path.getmtime(os.path.join(mf.blobs_dir(out), f))
+        for f in os.listdir(mf.blobs_dir(out))
+    }
+    s2 = encode_job(token_shards, out, cfg, concurrency=2)
+    assert s2["skipped"] == s1["planned_partitions"] - 3
+    # untouched partitions were not re-encoded
+    after = {
+        f: os.path.getmtime(os.path.join(mf.blobs_dir(out), f))
+        for f in os.listdir(mf.blobs_dir(out))
+    }
+    for f, mt in before.items():
+        assert after[f] == mt
+    # and the result is complete + correct
+    assert checksum_table(decode_table(out))["count"] == 4000
+
+
+def test_streaming_encode_path(ray_session, token_shards, tmp_path):
+    import ray.data
+
+    out = str(tmp_path / "enc_stream")
+    ds = ray.data.read_parquet(token_shards)
+    man = encode_dataset_streaming(
+        ds, out, EncoderConfig(stripe_target_tokens=150_000),
+        concurrency=2, batch_rows=512,
+    )
+    man.materialize()
+    original = ray.data.read_parquet(token_shards)
+    decoded = decode_dataset(out, concurrency=2)
+    assert verify_roundtrip(original, decoded)["match"]
+
+
+def test_manifest_summary_reports_codecs(ray_session, token_shards, tmp_path):
+    out = str(tmp_path / "enc")
+    encode_job(token_shards, out, EncoderConfig(stripe_target_tokens=100_000),
+               concurrency=2)
+    summary = mf.manifest_summary(out)
+    hist = summary["stream_bytes_by_codec"]
+    assert any(k.startswith("tokens:DATA:") for k in hist)
+    assert any(k.startswith("source:DATA:") for k in hist)
