@@ -3,14 +3,11 @@
 The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+DuckDB (row-count + schema + order-insensitive value-hash ->
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in orc_ray) calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +17,39 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: read documents ->
+    tokenize (map_batches) -> stripe-encode to blobs+manifests (actor pool)
+    -> decode from manifests -> verify token-array equality -> return the
+    decoded Dataset."""
+    from orc_ray.pipelines.decode import decode_dataset
+    from orc_ray.pipelines.queries import encoded_dir, tokens_dataset
+    from orc_ray.pipelines.verify import verify_roundtrip
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = encoded_dir(sf_dir, fresh=True)
+    decoded = decode_dataset(out)
+    res = verify_roundtrip(tokens_dataset(sf_dir), decode_dataset(out))
+    assert res["match"], f"round-trip mismatch: {res}"
+    return decoded
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from orc_ray.pipelines import queries as q
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "tokenize_stats": q.q_tokenize_stats,
+        "roundtrip_tokens": q.q_roundtrip_tokens,
+        "manifest_stats": q.q_manifest_stats,
+        "decode_projection": q.q_decode_projection,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from orc_ray.pipelines import queries as q
+
+    return {
+        "tokenize_stats": q.SQL_TOKENIZE_STATS,
+        "roundtrip_tokens": q.SQL_ROUNDTRIP_TOKENS,
+        "manifest_stats": q.SQL_MANIFEST_STATS,
+        "decode_projection": q.SQL_DECODE_PROJECTION,
+    }

@@ -40,6 +40,10 @@ def decode_dataset(
     """Lazy decoded Dataset over an encoded directory."""
     import ray.data
 
+    from .encode import _default_concurrency
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
     man = ray.data.read_parquet(mf.manifest_dir(out_dir))
     return man.map_batches(
         StripeDecoder,

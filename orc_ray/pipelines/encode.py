@@ -39,6 +39,19 @@ from ..state import manifest as mf
 from ..stripe import encode_table
 
 
+def _default_concurrency() -> int:
+    """Actor-pool size with headroom: reserving every CPU for the pool
+    starves upstream task operators (e.g. ReadParquet) and deadlocks the
+    streaming executor — always leave >=2 CPUs free."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(1, min(cpus - 2, 32))
+
+
 def split_stripes(table: pa.Table, config: EncoderConfig) -> list[pa.Table]:
     """Cut a table into stripe slices by cumulative token budget + row cap
     (the analogue of writer.go:166-172's size-or-rows stripe cut). A single
@@ -171,7 +184,7 @@ def encode_job(
     if todo:
         ds = ray.data.from_items(todo)
         if concurrency is None:
-            concurrency = min(len(todo), 32)
+            concurrency = min(len(todo), _default_concurrency())
         man = ds.map_batches(
             PartitionEncoder,
             fn_constructor_kwargs={"out_dir": out_dir, "config_dict": config.to_dict()},
@@ -219,6 +232,8 @@ def encode_dataset_streaming(
     (lazy — consume it to drive the pipeline)."""
     config = config or EncoderConfig()
     mf.ensure_dirs(out_dir)
+    if concurrency is None:
+        concurrency = _default_concurrency()
     return ds.map_batches(
         StreamingEncoder,
         fn_constructor_kwargs={"out_dir": out_dir, "config_dict": config.to_dict()},

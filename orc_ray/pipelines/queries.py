@@ -1,0 +1,210 @@
+"""Driver-facing query pipelines over the sandbox test tables.
+
+Each function takes ``sf_dir`` and returns a Dataset / pyarrow Table whose
+exact SQL mirror is defined next to it (consumed by __ray_entry__.py's
+``oracle_sql``). Ray is assumed to be initialised by the caller.
+
+All aggregates follow the scalable pattern: vectorized partial aggregation
+inside ``map_batches`` (combiner), tiny final reduce — never a full-data
+shuffle (SURVEY.md §2.5 mapping).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import EncoderConfig
+from ..sources.tokens import DOC_ID_SQL_EXPR, TOKENIZE_SQL_EXPR, tokenize_documents
+from ..state import manifest as mf
+from .decode import decode_dataset
+from .encode import encode_dataset_streaming
+
+_TOKENIZED_FROM = (
+    f"(SELECT {DOC_ID_SQL_EXPR} AS doc_id, source, "
+    f"{TOKENIZE_SQL_EXPR} AS toks, "
+    "len(string_split(text, ' ')) AS n_tok FROM documents)"
+)
+
+
+def tokens_dataset(sf_dir: str):
+    """documents -> token table as a streaming Dataset."""
+    import ray.data
+
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source"],
+    ).map_batches(tokenize_documents, batch_format="pyarrow")
+
+
+def _work_dir(sf_dir: str, name: str) -> str:
+    key = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join("/tmp", "orc_ray_work", key, name)
+
+
+def encoded_dir(sf_dir: str, fresh: bool = True) -> str:
+    """Encode the derived token table (streaming path); returns out_dir."""
+    out = _work_dir(sf_dir, "encoded")
+    if fresh and os.path.isdir(out):
+        shutil.rmtree(out)
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    man = encode_dataset_streaming(tokens_dataset(sf_dir), out, cfg,
+                                   batch_rows=4096)
+    man.materialize()
+    return out
+
+
+# --- q: tokenize_stats -----------------------------------------------------
+
+def q_tokenize_stats(sf_dir: str) -> pa.Table:
+    ds = tokens_dataset(sf_dir)
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = b.group_by("source").aggregate(
+            [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
+        )
+        return t
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    agg = merged.group_by("source").aggregate([
+        ("n_tok_count", "sum"), ("n_tok_sum", "sum"),
+        ("n_tok_min", "min"), ("n_tok_max", "max"),
+    ])
+    out = pa.table({
+        "source": agg.column("source"),
+        "n_docs": agg.column("n_tok_count_sum").cast(pa.int64()),
+        "sum_n_tok": agg.column("n_tok_sum_sum").cast(pa.int64()),
+        "min_n_tok": agg.column("n_tok_min_min").cast(pa.int64()),
+        "max_n_tok": agg.column("n_tok_max_max").cast(pa.int64()),
+    })
+    return out.sort_by("source")
+
+
+SQL_TOKENIZE_STATS = (
+    "SELECT source, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok, "
+    "min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok "
+    f"FROM {_TOKENIZED_FROM} GROUP BY source ORDER BY source"
+)
+
+
+# --- q: roundtrip_tokens ---------------------------------------------------
+
+def _row_summaries(batch: pa.Table) -> pa.Table:
+    """Per-row scalar fingerprints of the tokens list (sum/min/max/first/
+    last) — list columns summarized so the oracle compare stays scalar."""
+    col = batch.column("tokens")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    offsets = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset: col.offset + batch.num_rows + 1
+    ].astype(np.int64)
+    vals = col.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
+    v = vals.to_numpy(zero_copy_only=False).astype(np.int64)
+    off = offsets - offsets[0]
+    lengths = np.diff(off)
+    starts = off[:-1]
+    nz = lengths > 0
+    tok_sum = np.zeros(len(lengths), dtype=np.int64)
+    tok_min = np.zeros(len(lengths), dtype=np.int64)
+    tok_max = np.zeros(len(lengths), dtype=np.int64)
+    if nz.any():
+        tok_sum[nz] = np.add.reduceat(v, starts[nz])
+        tok_min[nz] = np.minimum.reduceat(v, starts[nz])
+        tok_max[nz] = np.maximum.reduceat(v, starts[nz])
+    pad = np.concatenate([v, [0]])
+    tok_first = pad[starts]
+    tok_last = pad[np.maximum(off[1:] - 1, starts)]
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "source": batch.column("source"),
+        "n_tok": batch.column("n_tok").cast(pa.int64()),
+        "tok_sum": pa.array(tok_sum, type=pa.int64()),
+        "tok_min": pa.array(tok_min, type=pa.int64()),
+        "tok_max": pa.array(tok_max, type=pa.int64()),
+        "tok_first": pa.array(tok_first, type=pa.int64()),
+        "tok_last": pa.array(tok_last, type=pa.int64()),
+    })
+
+
+def q_roundtrip_tokens(sf_dir: str):
+    """Full encode -> decode round-trip; rows summarized from the DECODED
+    table, so any decode corruption breaks the oracle compare."""
+    out = encoded_dir(sf_dir, fresh=True)
+    return decode_dataset(out).map_batches(_row_summaries, batch_format="pyarrow")
+
+
+SQL_ROUNDTRIP_TOKENS = (
+    "SELECT doc_id, source, n_tok, "
+    "CAST(list_aggregate(toks, 'sum') AS BIGINT) AS tok_sum, "
+    "CAST(list_aggregate(toks, 'min') AS BIGINT) AS tok_min, "
+    "CAST(list_aggregate(toks, 'max') AS BIGINT) AS tok_max, "
+    "toks[1] AS tok_first, toks[-1] AS tok_last "
+    f"FROM {_TOKENIZED_FROM}"
+)
+
+
+# --- q: manifest_stats -----------------------------------------------------
+
+def q_manifest_stats(sf_dir: str) -> pa.Table:
+    """File-level statistics merged from per-stripe manifest stats (the
+    columnstatistics.go:106-163 analogue): totals must equal a direct scan."""
+    import json
+
+    out = _work_dir(sf_dir, "encoded")
+    if not os.path.isdir(mf.manifest_dir(out)):
+        encoded_dir(sf_dir, fresh=True)
+    man = mf.read_manifest(out)
+    num_rows = 0
+    sum_n_tok = 0
+    min_n_tok = None
+    max_n_tok = None
+    for mj in man.column("meta_json").to_pylist():
+        meta = json.loads(mj)
+        for cm in meta["columns"]:
+            if cm["name"] == "n_tok":
+                st = cm["stats"]
+                num_rows += st["num_values"]
+                sum_n_tok += st["sum"]
+                min_n_tok = st["min"] if min_n_tok is None else min(min_n_tok, st["min"])
+                max_n_tok = st["max"] if max_n_tok is None else max(max_n_tok, st["max"])
+    return pa.table({
+        "num_docs": pa.array([num_rows], type=pa.int64()),
+        "sum_n_tok": pa.array([sum_n_tok], type=pa.int64()),
+        "min_n_tok": pa.array([min_n_tok], type=pa.int64()),
+        "max_n_tok": pa.array([max_n_tok], type=pa.int64()),
+    })
+
+
+SQL_MANIFEST_STATS = (
+    "SELECT count(*) AS num_docs, CAST(sum(n_tok) AS BIGINT) AS sum_n_tok, "
+    "min(n_tok) AS min_n_tok, max(n_tok) AS max_n_tok "
+    f"FROM {_TOKENIZED_FROM}"
+)
+
+
+# --- q: projection ---------------------------------------------------------
+
+def q_decode_projection(sf_dir: str):
+    """Column-pruned decode (Select/cursor analogue): only source + n_tok
+    streams are read from the blobs."""
+    out = _work_dir(sf_dir, "encoded")
+    if not os.path.isdir(mf.manifest_dir(out)):
+        encoded_dir(sf_dir, fresh=True)
+
+    def cast_ntok(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column("source"),
+            "n_tok": b.column("n_tok").cast(pa.int64()),
+        })
+
+    return decode_dataset(out, columns=["source", "n_tok"]).map_batches(
+        cast_ntok, batch_format="pyarrow"
+    )
+
+
+SQL_DECODE_PROJECTION = f"SELECT source, n_tok FROM {_TOKENIZED_FROM}"
