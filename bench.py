@@ -1,0 +1,200 @@
+"""Benchmark harness.
+
+Headline pipeline: deterministic synthetic token table (FIXTURES.md F1,
+volume scaled from the sf dir) -> size-aware plan -> actor-pool stripe
+encode (blobs + manifests) -> streaming decode + checksum verify. Also runs
+the reference-stack configuration (RLEv2 + dict + outer zlib, no FSST/FOR —
+the exact algorithm set of scritchley/orc) on the same input to report the
+compressed-size ratio vs the reference.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {...per-phase sec...}, "sf": ..., "num_cpus": N, ...extras}
+
+--scaling: runs the encode phase in two fresh processes (num_cpus=8 and 32,
+same input) and reports both throughputs + scaling efficiency — the sandbox
+substitute for the N vs 4N node criterion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# rows of the synthetic table per sf tier (~220 tokens/row mean)
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 30_000, "sf0.1": 300_000}
+
+
+def sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
+def bench_input(sf_dir: str) -> tuple[list[str], str]:
+    """Materialize (once) the deterministic synthetic shards for this sf."""
+    from orc_ray.sources.tokens import write_synthetic_shards
+
+    name = sf_name(sf_dir)
+    rows = ROWS_BY_SF.get(name, 30_000)
+    d = f"/tmp/orc_ray_bench/{name}/input"
+    marker = os.path.join(d, f".complete-{rows}")
+    if not os.path.exists(marker):
+        import shutil
+
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+        write_synthetic_shards(d, num_rows=rows, num_shards=16, seed=42,
+                               rows_per_row_group=4096)
+        open(marker, "w").close()
+    paths = sorted(
+        os.path.join(d, f) for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    return paths, name
+
+
+def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "reference")) -> dict:
+    import ray
+
+    from orc_ray.config import EncoderConfig
+    from orc_ray.pipelines.decode import decode_dataset
+    from orc_ray.pipelines.encode import encode_job
+    from orc_ray.pipelines.verify import checksum_dataset
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+
+    paths, name = bench_input(sf_dir)
+    out: dict = {"sf": name, "num_cpus": num_cpus, "queries": {}}
+    enc_dir = f"/tmp/orc_ray_bench/{name}/encoded-{num_cpus}"
+    import shutil
+
+    if "encode" in phases:
+        if os.path.isdir(enc_dir):
+            shutil.rmtree(enc_dir)
+        cfg = EncoderConfig(stripe_target_tokens=4_000_000)
+        t0 = time.perf_counter()
+        summary = encode_job(paths, enc_dir, cfg)
+        enc_sec = time.perf_counter() - t0
+        out["queries"]["encode"] = round(enc_sec, 3)
+        out["encode_raw_gb"] = round(summary["raw_bytes"] / 1e9, 4)
+        out["encode_gbps"] = round(summary["raw_bytes"] / 1e9 / enc_sec, 4)
+        out["num_tokens"] = summary["num_tokens"]
+        out["bytes_per_token"] = round(summary["bytes_per_token"], 4)
+        out["encoded_bytes"] = summary["encoded_bytes"]
+
+    if "decode" in phases:
+        t0 = time.perf_counter()
+        ds = decode_dataset(enc_dir)
+        cs = checksum_dataset(ds)
+        dec_sec = time.perf_counter() - t0
+        out["queries"]["decode_verify"] = round(dec_sec, 3)
+        out["decode_gbps"] = round(out.get("encode_raw_gb", 0) / dec_sec, 4)
+        out["decoded_rows"] = cs["count"]
+
+    if "reference" in phases:
+        # reference algorithm stack: RLEv2 ints, dict/direct strings,
+        # chunked zlib over streams — no FSST, no FOR (scritchley/orc's
+        # exact codec set; our RLEv2 kernels are byte-identical to it)
+        ref_dir = f"/tmp/orc_ray_bench/{name}/encoded-ref-{num_cpus}"
+        if os.path.isdir(ref_dir):
+            shutil.rmtree(ref_dir)
+        ref_cfg = EncoderConfig(
+            stripe_target_tokens=4_000_000,
+            int_candidates=("rle2",),
+            string_blob_candidates=("none",),
+            outer_compression="zlib",
+        )
+        t0 = time.perf_counter()
+        ref_summary = encode_job(paths, ref_dir, ref_cfg)
+        out["queries"]["encode_reference_stack"] = round(time.perf_counter() - t0, 3)
+        out["ref_bytes_per_token"] = round(ref_summary["bytes_per_token"], 4)
+        if "bytes_per_token" in out:
+            out["size_vs_reference"] = round(
+                out["bytes_per_token"] / ref_summary["bytes_per_token"], 4
+            )
+        shutil.rmtree(ref_dir, ignore_errors=True)
+    return out
+
+
+def run_oracle_queries(sf_dir: str, out: dict) -> None:
+    """Time the driver-contract queries at this sf dir."""
+    import __ray_entry__ as e
+
+    for name, fn in e.queries().items():
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        # drive lazy datasets to completion
+        if hasattr(res, "count"):
+            res.count()
+        out["queries"][name] = round(time.perf_counter() - t0, 3)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--scaling", action="store_true",
+                    help="run encode at 8 and 32 cpus in fresh processes")
+    ap.add_argument("--phases", default="encode,decode,reference,queries")
+    ap.add_argument("--json-out", default="")
+    args = ap.parse_args()
+
+    if args.scaling:
+        results = {}
+        for cpus in (8, 32):
+            tmp = f"/tmp/orc_ray_bench/scaling-{cpus}.json"
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+            subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
+                 "--cpus", str(cpus), "--phases", "encode", "--json-out", tmp],
+                check=True, env=env, capture_output=True,
+            )
+            results[cpus] = json.load(open(tmp))
+        thr8 = results[8]["encode_gbps"]
+        thr32 = results[32]["encode_gbps"]
+        eff = (thr32 / thr8) / (32 / 8)
+        line = {
+            "metric": "encode_scaling_efficiency", "value": round(eff, 4),
+            "unit": "ratio", "sf": sf_name(args.sf_dir),
+            "throughput_gbps": {"8": thr8, "32": thr32},
+            "queries": {"encode_cpus8": results[8]["queries"]["encode"],
+                        "encode_cpus32": results[32]["queries"]["encode"]},
+            "num_cpus": 32,
+        }
+        print(json.dumps(line))
+        return
+
+    phases = tuple(args.phases.split(","))
+    out = run_headline(args.sf_dir, args.cpus,
+                       tuple(p for p in phases if p != "queries"))
+    if "queries" in phases:
+        run_oracle_queries(args.sf_dir, out)
+
+    total = sum(v for v in out["queries"].values())
+    line = {
+        "metric": "encode+decode+verify wall time (headline token pipeline)",
+        "value": round(total, 3),
+        "unit": "sec",
+        **out,
+    }
+    js = json.dumps(line)
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            f.write(js)
+    print(js)
+
+    import ray
+
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

@@ -26,6 +26,10 @@ from __future__ import annotations
 import numpy as np
 
 from .bitpack import (
+    DECODE_BIT_WIDTH,
+    _CLOSEST_ALIGNED,
+    _CLOSEST_FIXED,
+    _ENCODE_BW,
     bit_length_u64,
     closest_fixed_bits_arr,
     decode_bit_width,
@@ -36,6 +40,11 @@ from .bitpack import (
     percentile_bits,
     unpack_bits,
 )
+
+# lookup arrays for the batched encoder
+_ENC_CODE_OF = _ENCODE_BW[_CLOSEST_FIXED]  # bit length (0..64) -> width code
+_CLOSEST_ALIGNED_ARR = _CLOSEST_ALIGNED
+_DECODE_BW_ARR = DECODE_BIT_WIDTH
 from .varint import (
     read_vslong,
     read_vulong,
@@ -73,41 +82,150 @@ def _as_i64(v: int) -> int:
 # ---------------------------------------------------------------------------
 
 def encode(values: np.ndarray, signed: bool) -> bytes:
-    """Encode an int64 array into an RLEv2 byte stream."""
+    """Encode an int64 array into an RLEv2 byte stream.
+
+    Full-512 variable scopes (the dominant case on non-runny data) are
+    classified and emitted in one vectorized matrix pass; fixed runs and
+    odd-sized scopes fall back to the per-scope emitters."""
     v = np.ascontiguousarray(values, dtype=_I64)
-    out = bytearray()
-    for kind, s, e in _segments(v):
-        if kind == 0:  # fixed run of equal values
+    segs = list(_segments(v))
+    if not segs:
+        return b""
+    pieces: list[bytes | None] = [None] * len(segs)
+    full = [i for i, (k, s, e) in enumerate(segs) if k == 1 and e - s == MAX_SCOPE]
+    if len(full) >= 4:
+        starts = np.array([segs[i][1] for i in full], dtype=np.int64)
+        for idx, piece in zip(full, _encode_var_batch(v, starts, signed)):
+            pieces[idx] = piece
+    for i, (kind, s, e) in enumerate(segs):
+        if pieces[i] is not None:
+            continue
+        out = bytearray()
+        if kind == 0:
             _emit_fixed(out, int(v[s]), e - s, signed)
         else:
             _emit_variable(out, v[s:e], signed)
-    return bytes(out)
+        pieces[i] = bytes(out)
+    return b"".join(pieces)
+
+
+def _encode_var_batch(v: np.ndarray, starts: np.ndarray, signed: bool) -> list[bytes]:
+    """Vectorized determineEncoding + emit for k full-512 variable scopes.
+    Replicates the reference's decision tree per scope
+    (runlengthintegerwriterv2.go:265-402); DIRECT scopes (the common case)
+    are bit-packed in per-width groups, the rest delegate to the scalar
+    emitters."""
+    k = len(starts)
+    n = MAX_SCOPE
+    idx = starts[:, None] + np.arange(n)
+    M = v[idx]  # (k, 512) int64
+    ZZ = zigzag_encode(M.ravel()).reshape(k, n) if signed else M.view(_U64)
+
+    # per-scope percentile widths from a (k, 32) width-code histogram
+    codes = _ENC_CODE_OF[bit_length_u64(ZZ.ravel())].reshape(k, n)
+    flat = (np.arange(k)[:, None] * 32 + codes).ravel()
+    hist = np.bincount(flat, minlength=k * 32).reshape(k, 32)
+    zz100 = _pct_from_hist(hist, n, 1.0)
+    zz90 = _pct_from_hist(hist, n, 0.9)
+
+    D = M[:, 1:] - M[:, :-1]
+    initial = D[:, 0]
+    is_fixed = np.all(D == initial[:, None], axis=1)
+    is_inc = np.all(M[:, 1:] >= M[:, :-1], axis=1)
+    is_dec = np.all(M[:, 1:] <= M[:, :-1], axis=1)
+    vmin = M.min(axis=1)
+    vmax = M.max(axis=1)
+    diff = vmax - vmin  # wrapping
+    safe = ((vmax ^ vmin) >= 0) | ((vmax ^ diff) >= 0)
+    const = vmin == vmax
+
+    direct = ~safe | (safe & ~const & ~is_fixed &
+                      ~((initial != 0) & (is_inc | is_dec)) & (zz100 - zz90 <= 1))
+    maybe_patched = ~direct & safe & ~const & ~is_fixed & \
+        ~((initial != 0) & (is_inc | is_dec))
+
+    pieces: list[bytes | None] = [None] * k
+    # DIRECT scopes grouped by aligned width
+    direct_idx = np.flatnonzero(direct)
+    if len(direct_idx):
+        fbs = _CLOSEST_ALIGNED_ARR[zz100[direct_idx]]
+        for fb in np.unique(fbs):
+            rows = direct_idx[fbs == fb]
+            packed = pack_bits(ZZ[rows].ravel(), int(fb))
+            per = n * int(fb) // 8
+            header = bytes([(DIRECT << 6) | (encode_bit_width(int(fb)) << 1) | 1,
+                            (n - 1) & 0xFF])
+            for j, r in enumerate(rows):
+                pieces[r] = header + packed[j * per: (j + 1) * per]
+    # the rest: scalar emitters (rare on non-degenerate data)
+    for r in np.flatnonzero(~direct):
+        out = bytearray()
+        if const[r]:
+            _emit_delta_fixed(out, int(vmin[r]), 0, n, signed)
+        elif is_fixed[r]:
+            _emit_delta_fixed(out, int(M[r, 0]), int(initial[r]), n, signed)
+        elif (initial[r] != 0) and (is_inc[r] or is_dec[r]):
+            abs_tail = np.abs(D[r, 1:])
+            delta_max = max(int(initial[r]), int(abs_tail.max()))
+            bits_delta_max = get_closest_fixed_bits(_u64(delta_max).bit_length())
+            _emit_delta_var(out, M[r], int(initial[r]), abs_tail, bits_delta_max, signed)
+        elif maybe_patched[r]:
+            base_red = (M[r] - vmin[r]).view(_U64)
+            br95 = percentile_bits(base_red, 0.95)
+            br100 = percentile_bits(base_red, 1.0)
+            if br100 - br95 != 0:
+                _emit_patched_base(out, base_red, int(vmin[r]), br95, br100)
+            else:
+                _emit_direct(out, ZZ[r], int(zz100[r]))
+        else:
+            _emit_direct(out, ZZ[r], int(zz100[r]))
+        pieces[r] = bytes(out)
+    return pieces  # type: ignore[return-value]
+
+
+def _pct_from_hist(hist: np.ndarray, n: int, p: float) -> np.ndarray:
+    """Vectorized percentileBits over per-scope histograms: width where the
+    top-down cumulative count exceeds n*(1-p)."""
+    per_len = float(n) * (1.0 - p)
+    rev = hist[:, ::-1]
+    cum = np.cumsum(rev, axis=1)
+    j = np.argmax(cum > per_len, axis=1)
+    return _DECODE_BW_ARR[31 - j]
 
 
 def _segments(v: np.ndarray):
     """Yield (kind, start, end) with kind 0=fixed-run, 1=variable, matching
-    the reference state machine's flush boundaries."""
+    the reference state machine's flush boundaries. Single vectorized run
+    detection + monotone pointer walk (no per-chunk searches)."""
     n = len(v)
     if n == 0:
         return
     if n == 1:
         yield (1, 0, 1)
         return
-    eq = v[1:] == v[:-1]
-    if n >= 3:
-        triple = eq[:-1] & eq[1:]
-        triple_idx = np.flatnonzero(triple)
-    else:
-        triple_idx = np.empty(0, dtype=np.int64)
-    # run ends: for equal-run starting at t, end = first change index
-    change = np.flatnonzero(~eq)  # i in change: v[i] != v[i+1]
+    change_idx = np.flatnonzero(v[1:] != v[:-1])
+    run_bounds = np.empty(len(change_idx) + 2, dtype=np.int64)
+    run_bounds[0] = 0
+    run_bounds[1:-1] = change_idx + 1
+    run_bounds[-1] = n
+    run_starts = run_bounds[:-1]
+    run_ends = run_bounds[1:]
+    big = (run_ends - run_starts) >= MIN_REPEAT
+    big_starts = run_starts[big]
+    big_ends = run_ends[big]
+    nbig = len(big_starts)
+
     c = 0
+    ri = 0  # run containing c
+    bj = 0  # next big run with start > current variable-span start
+    nruns = len(run_starts)
     while c < n:
-        # fixed run starting exactly at c?
-        if c + 2 < n and eq[c] and eq[c + 1]:
-            j = np.searchsorted(change, c)
-            run_end = int(change[j]) + 1 if j < len(change) else n
-            L = run_end - c
+        while ri < nruns and run_ends[ri] <= c:
+            ri += 1
+        re = int(run_ends[ri])
+        L = re - c
+        if L >= MIN_REPEAT:
+            # fixed run from c (covers both full runs and post-512-cut tails)
             while L >= MAX_SCOPE:
                 yield (0, c, c + MAX_SCOPE)
                 c += MAX_SCOPE
@@ -116,21 +234,30 @@ def _segments(v: np.ndarray):
                 yield (0, c, c + L)
                 c += L
                 continue
-            # 1-2 leftover equal values fall through into the variable run
-        if c >= n:
-            break
+            if L == 0:
+                continue
+            # 1-2 leftover equal values fall into the variable span
         s = c
-        # first triple start strictly after s
-        j = np.searchsorted(triple_idx, s, side="right")
-        t = int(triple_idx[j]) if j < len(triple_idx) else -1
-        if t != -1 and t + 2 <= s + MAX_SCOPE - 1:
-            # carve: variable prefix [s, t), fixed run continues at t
-            yield (1, s, t)
-            c = t
-        else:
+        while bj < nbig and big_starts[bj] <= s:
+            bj += 1
+        t = int(big_starts[bj]) if bj < nbig else -1
+        while True:
+            if t != -1 and t + 2 <= s + MAX_SCOPE - 1:
+                # carve-out: flush variable prefix, fixed run continues at t
+                yield (1, s, t)
+                c = t
+                break
             e = min(s + MAX_SCOPE, n)
             yield (1, s, e)
             c = e
+            if e == n or (t != -1 and e >= t):
+                # hit the end, or the 512-cut swallowed the start of run t:
+                # outer loop re-evaluates the remaining tail of that run
+                break
+            s = e
+            while bj < nbig and big_starts[bj] <= s:
+                bj += 1
+            t = int(big_starts[bj]) if bj < nbig else -1
 
 
 def _emit_fixed(out: bytearray, val: int, length: int, signed: bool) -> None:

@@ -24,8 +24,10 @@ class EncoderConfig:
     int_candidates: tuple[str, ...] = ("rle2", "rle2_delta", "for")
     # string blob handling: auto tries fsst/zlib/none by measured size
     string_blob_candidates: tuple[str, ...] = ("fsst", "zlib", "none")
-    # optional outer chunked-zlib over each encoded stream (compressioncodec.go)
-    outer_compression: str = "none"  # "none" | "zlib"
+    # outer chunked-zlib over each encoded stream (compressioncodec.go):
+    # "auto" keeps zlib per stream only when it shrinks it (guarantees
+    # <= the reference's always-zlib stack), "zlib" always, "none" never
+    outer_compression: str = "auto"
     zlib_level: int = 6
     # selector sampling: streams larger than this are chosen on a sample
     selector_sample_values: int = 65_536

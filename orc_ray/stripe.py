@@ -91,11 +91,15 @@ class _BlobWriter:
 
     def add(self, column: str, kind: str, codec: str, data: bytes, **extra) -> None:
         raw_len = len(data)
-        if self.outer == "zlib" and raw_len > 0:
-            data = zlibchunk.compress(data, level=self.zlib_level)
+        outer = "none"
+        if raw_len > 0 and self.outer in ("zlib", "auto"):
+            z = zlibchunk.compress(data, level=self.zlib_level)
+            if self.outer == "zlib" or len(z) < raw_len:
+                data, outer = z, "zlib"
         rec = {
             "column": column, "kind": kind, "codec": codec,
             "offset": len(self.buf), "length": len(data), "raw_length": raw_len,
+            "outer": outer,
         }
         rec.update(extra)
         self.streams.append(rec)
@@ -104,7 +108,8 @@ class _BlobWriter:
 
 def _stream_bytes(blob: bytes, rec: dict, outer: str) -> bytes:
     data = blob[rec["offset"]: rec["offset"] + rec["length"]]
-    if outer == "zlib" and rec["raw_length"] > 0:
+    stream_outer = rec.get("outer", outer)
+    if stream_outer == "zlib" and rec["raw_length"] > 0:
         data = zlibchunk.decompress(data)
     return data
 
