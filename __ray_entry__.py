@@ -23,14 +23,13 @@ def entry() -> Any:
     decoded Dataset."""
     from orc_ray.pipelines.decode import decode_dataset
     from orc_ray.pipelines.queries import encoded_dir, tokens_dataset
-    from orc_ray.pipelines.verify import verify_roundtrip
+    from orc_ray.pipelines.verify import verify_encoded
 
     sf_dir = "/root/testdata/sf0.001"
     out = encoded_dir(sf_dir, fresh=True)
-    decoded = decode_dataset(out)
-    res = verify_roundtrip(tokens_dataset(sf_dir), decode_dataset(out))
+    res = verify_encoded(tokens_dataset(sf_dir), out)
     assert res["match"], f"round-trip mismatch: {res}"
-    return decoded
+    return decode_dataset(out)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

@@ -436,27 +436,121 @@ def _is_safe_subtract(left: int, right: int) -> bool:
 
 def decode(buf: bytes, signed: bool, n: int | None = None) -> np.ndarray:
     """Decode an RLEv2 byte stream to an int64 array. Stops after ``n``
-    values when given, else consumes the whole buffer."""
-    chunks: list[np.ndarray] = []
+    values when given, else consumes the whole buffer.
+
+    Two passes: a cheap header scan collects every run's (tag, position,
+    count), then DIRECT runs are unpacked in groups of equal (width, count)
+    with one vectorized gather/scatter per group; other runs decode
+    individually."""
+    size = len(buf)
+    # pass 1: header scan
+    tags = []
+    positions = []
+    counts = []
+    widths = []
     pos = 0
     total = 0
-    size = len(buf)
     while pos < size and (n is None or total < n):
         first = buf[pos]
         tag = (first >> 6) & 0x3
         if tag == SHORT_REPEAT:
-            arr, pos = _read_short_repeat(buf, pos, signed)
+            sz = ((first >> 3) & 0x7) + 1
+            cnt = (first & 0x7) + MIN_REPEAT
+            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(sz)
+            pos += 1 + sz
         elif tag == DIRECT:
-            arr, pos = _read_direct(buf, pos, signed)
+            fb = decode_bit_width((first >> 1) & 0x1F)
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
+            pos += 2 + (cnt * fb + 7) // 8
         elif tag == PATCHED_BASE:
-            arr, pos = _read_patched_base(buf, pos)
+            fb = decode_bit_width((first >> 1) & 0x1F)
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            third = buf[pos + 2]
+            base_bytes = ((third >> 5) & 0x7) + 1
+            patch_width = decode_bit_width(third & 0x1F)
+            fourth = buf[pos + 3]
+            patch_gap_width = ((fourth >> 5) & 0x7) + 1
+            pll = fourth & 0x1F
+            gvp_w = get_closest_fixed_bits(patch_width + patch_gap_width)
+            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
+            pos += 4 + base_bytes + (cnt * fb + 7) // 8 + (pll * gvp_w + 7) // 8
+        else:  # DELTA — data length needs the varints; parse them
+            fbo = (first >> 1) & 0x1F
+            fb = decode_bit_width(fbo) if fbo != 0 else 0
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            p = pos + 2
+            _, p = read_vulong(buf, p)  # first value (zigzag irrelevant for length)
+            _, p = read_vslong(buf, p)  # fixed delta or delta base
+            if fb != 0:
+                p += ((cnt - 2) * fb + 7) // 8
+            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
+            pos = p
+        total += counts[-1]
+
+    out = np.empty(total, dtype=_I64)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+
+    tags_a = np.array(tags, dtype=np.int64) if tags else np.empty(0, np.int64)
+    # pass 2a: grouped DIRECT decode
+    direct_idx = np.flatnonzero(tags_a == DIRECT)
+    if len(direct_idx):
+        pos_a = np.array(positions, dtype=np.int64)
+        cnt_a = np.array(counts, dtype=np.int64)
+        w_a = np.array(widths, dtype=np.int64)
+        raw = np.frombuffer(buf, dtype=np.uint8)
+        for key in np.unique(w_a[direct_idx] * 1024 + cnt_a[direct_idx]):
+            w, c = int(key) // 1024, int(key) % 1024
+            grp = direct_idx[(w_a[direct_idx] == w) & (cnt_a[direct_idx] == c)]
+            if len(grp) == 1:
+                g = int(grp[0])
+                vals, _ = unpack_bits(buf, w, c, int(pos_a[g]) + 2)
+                dec = zigzag_decode(vals) if signed else vals.view(_I64)
+                out[starts[g]: starts[g] + c] = dec
+                continue
+            nb = (c * w + 7) // 8
+            gather = pos_a[grp][:, None] + 2 + np.arange(nb)
+            data = raw[gather]  # (k, nb)
+            vals = _unpack_matrix(data, w, c)
+            dec = zigzag_decode(vals.ravel()).reshape(len(grp), c) if signed \
+                else vals.view(_I64)
+            scatter = starts[grp][:, None] + np.arange(c)
+            out[scatter.ravel()] = dec.ravel()
+    # pass 2b: everything else, per run
+    for i, tag in enumerate(tags):
+        if tag == DIRECT:
+            continue
+        s = starts[i]
+        if tag == SHORT_REPEAT:
+            arr, _ = _read_short_repeat(buf, positions[i], signed)
+        elif tag == PATCHED_BASE:
+            arr, _ = _read_patched_base(buf, positions[i])
         else:
-            arr, pos = _read_delta(buf, pos, signed)
-        chunks.append(arr)
-        total += len(arr)
-    out = np.concatenate(chunks) if chunks else np.empty(0, dtype=_I64)
-    if n is not None and len(out) > n:
+            arr, _ = _read_delta(buf, positions[i], signed)
+        out[s: s + len(arr)] = arr
+    if n is not None and total > n:
         out = out[:n]
+    return out
+
+
+def _unpack_matrix(data: np.ndarray, width: int, count: int) -> np.ndarray:
+    """Unpack a (k, nbytes) uint8 matrix of bit-packed runs to (k, count)
+    uint64."""
+    k = len(data)
+    if width == 8:
+        return data[:, :count].astype(_U64)
+    if width % 8 == 0 and width <= 64:
+        nbytes = width // 8
+        m = data[:, : count * nbytes].reshape(k, count, nbytes).astype(_U64)
+        out = np.zeros((k, count), dtype=_U64)
+        for j in range(nbytes):
+            out = (out << _U64(8)) | m[:, :, j]
+        return out
+    bits = np.unpackbits(data, axis=1)[:, : count * width].reshape(k, count, width)
+    out = np.zeros((k, count), dtype=_U64)
+    for j in range(width):
+        out = (out << _U64(1)) | bits[:, :, j].astype(_U64)
     return out
 
 

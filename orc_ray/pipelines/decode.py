@@ -15,12 +15,16 @@ import os
 
 import pyarrow as pa
 
+from .._tuning import remote_args
 from ..state import manifest as mf
 from ..stripe import decode_blob
 
 
 class StripeDecoder:
     def __init__(self, out_dir: str, columns: list[str] | None = None):
+        from .._tuning import prewarm
+
+        prewarm()
         self.blobs_dir = mf.blobs_dir(out_dir)
         self.columns = columns
 
@@ -52,6 +56,7 @@ def decode_dataset(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
+        **remote_args(),
     )
 
 

@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .._tuning import remote_args
 from ..config import EncoderConfig
 from ..selector import SelectorState
 from ..sources.planner import plan_partitions, read_partition
@@ -137,6 +138,9 @@ class PartitionEncoder:
     __init__ once, work per batch (the stateful-stage pattern)."""
 
     def __init__(self, out_dir: str, config_dict: dict):
+        from .._tuning import prewarm
+
+        prewarm()
         self.out_dir = out_dir
         self.config = EncoderConfig.from_dict(config_dict)
         self.selector = SelectorState(self.config)
@@ -192,6 +196,7 @@ def encode_job(
             batch_format="pyarrow",
             concurrency=concurrency,
             num_cpus=1,
+            **remote_args(),
         )
         man.materialize()  # manifest rows only: metadata-sized
     result.update(mf.manifest_summary(out_dir))
@@ -202,6 +207,9 @@ class StreamingEncoder:
     """map_batches callable for the pure-streaming path."""
 
     def __init__(self, out_dir: str, config_dict: dict):
+        from .._tuning import prewarm
+
+        prewarm()
         self.out_dir = out_dir
         self.config = EncoderConfig.from_dict(config_dict)
         self.selector = SelectorState(self.config)
@@ -241,4 +249,5 @@ def encode_dataset_streaming(
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
+        **remote_args(),
     )

@@ -125,3 +125,56 @@ def verify_roundtrip(original_ds, decoded_ds) -> dict:
     a = checksum_dataset(original_ds)
     b = checksum_dataset(decoded_ds)
     return {"match": a == b, "original": a, "decoded": b}
+
+
+class _DecodeChecksum:
+    """Fused decode+checksum stage: decoded stripes are hashed inside the
+    same actor, so the full decoded data never crosses the object store
+    (only (count, sum, xor) triples do)."""
+
+    def __init__(self, out_dir: str):
+        from .decode import StripeDecoder
+
+        self.dec = StripeDecoder(out_dir)
+
+    def __call__(self, man: pa.Table) -> pa.Table:
+        outs = [_partial(t) for t in self.dec(man)]
+        if not outs:
+            return _partial(pa.table({"count": pa.array([], type=pa.int64())})).slice(0, 0)
+        return pa.concat_tables(outs)
+
+
+def checksum_encoded(out_dir: str, concurrency=None) -> dict:
+    """Streaming checksum of an encoded directory (decode fused in)."""
+    import ray.data
+
+    from .._tuning import remote_args
+    from ..state import manifest as mf
+    from .encode import _default_concurrency
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    man = ray.data.read_parquet(mf.manifest_dir(out_dir))
+    parts = man.map_batches(
+        _DecodeChecksum,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        batch_size=1,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+        **remote_args(),
+    ).take_all()
+    count = sum(p["count"] for p in parts)
+    hsum = 0
+    hxor = 0
+    for p in parts:
+        hsum = (hsum + int(p["hsum"])) & 0xFFFFFFFFFFFFFFFF
+        hxor ^= int(p["hxor"])
+    return {"count": count, "hsum": hsum, "hxor": hxor}
+
+
+def verify_encoded(original_ds, out_dir: str) -> dict:
+    """Round-trip check of an encoded dir against its source Dataset."""
+    a = checksum_dataset(original_ds)
+    b = checksum_encoded(out_dir)
+    return {"match": a == b, "original": a, "decoded": b}
