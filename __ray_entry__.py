@@ -34,21 +34,48 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from orc_ray.pipelines import queries as q
+    from orc_ray.pipelines import queries_extras as x
 
     return {
+        # core encoder stack (SURVEY.md §2)
         "tokenize_stats": q.q_tokenize_stats,
         "roundtrip_tokens": q.q_roundtrip_tokens,
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
+        # text analysis
+        "token_count": x.q_token_count,
+        "quality_score": x.q_quality,
+        "langid": x.q_langid,
+        "fingerprint": x.q_fingerprint,
+        # dedup family
+        "dedup_exact": x.q_dedup_exact,
+        "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
+        "simhash_pairs": x.q_simhash,
+        "embedding_neardup": x.q_embedding_neardup,
+        # similarity search
+        "ann_topk": x.q_ann_topk,
+        "ann_ivf": x.q_ann_ivf,
+        # multimodal plumbing
+        "media_decode": x.q_media_decode,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from orc_ray.pipelines import queries as q
+    from orc_ray.pipelines import queries_extras as x
 
     return {
         "tokenize_stats": q.SQL_TOKENIZE_STATS,
         "roundtrip_tokens": q.SQL_ROUNDTRIP_TOKENS,
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
+        "token_count": x.SQL_Q_TOKEN_COUNT,
+        "quality_score": x.SQL_Q_QUALITY,
+        "fingerprint": x.SQL_Q_FINGERPRINT,
+        "dedup_exact": x.SQL_Q_DEDUP_EXACT,
+        "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
+        "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
+        "ann_topk": x.SQL_Q_ANN_TOPK,
+        # langid / simhash_pairs / ann_ivf / media_decode: heuristic or
+        # approximate -> rows-only checks (asserted in pytest instead)
     }

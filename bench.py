@@ -33,7 +33,7 @@ DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 # rows of the synthetic table per sf tier (~300 tokens/row mean). sf0.1 is
 # sized so per-core work amortizes fixed costs (plan + actor-pool startup)
 # and the 8-vs-32-cpu scaling measurement reflects the compute, not setup.
-ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 30_000, "sf0.1": 1_500_000}
+ROWS_BY_SF = {"sf0.001": 2_000, "sf0.01": 30_000, "sf0.1": 3_000_000}
 
 
 def sf_name(sf_dir: str) -> str:

@@ -1,0 +1,204 @@
+"""Driver-facing queries for the training-data-pipeline operators
+(text analysis, dedup, similarity search, multimodal) with their DuckDB
+oracle SQL where expressible. Consumed by __ray_entry__.py."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..functions import ann, dedup, multimodal
+from ..functions.text import (
+    SQL_FINGERPRINT,
+    SQL_QUALITY,
+    SQL_TOKEN_COUNT,
+    LangId,
+    TokenCounter,
+    fingerprint_batch,
+    quality_batch,
+)
+
+
+def _docs_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb_ds(sf_dir: str):
+    import ray.data
+
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# --- text analysis ---------------------------------------------------------
+
+def q_token_count(sf_dir: str):
+    from .._tuning import remote_args
+    from .encode import _default_concurrency
+
+    return _docs_ds(sf_dir).map_batches(
+        TokenCounter, batch_format="pyarrow",
+        concurrency=min(4, _default_concurrency()), num_cpus=1, **remote_args(),
+    )
+
+
+SQL_Q_TOKEN_COUNT = SQL_TOKEN_COUNT
+
+
+def q_quality(sf_dir: str):
+    return _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+
+
+SQL_Q_QUALITY = SQL_QUALITY
+
+
+def q_langid(sf_dir: str):
+    """Heuristic language ID — no SQL mirror (rows-only check)."""
+    from .encode import _default_concurrency
+
+    return _docs_ds(sf_dir).map_batches(
+        LangId, batch_format="pyarrow",
+        concurrency=min(4, _default_concurrency()), num_cpus=1,
+    )
+
+
+def q_fingerprint(sf_dir: str):
+    def md5_only(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b)
+        return t.select(["doc_id", "md5"])
+
+    return _docs_ds(sf_dir).map_batches(md5_only, batch_format="pyarrow")
+
+
+SQL_Q_FINGERPRINT = SQL_FINGERPRINT
+
+
+# --- dedup -----------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: md5 key -> distributed group-by, keep min(doc_id).
+    Only (md5, doc_id) pairs shuffle — never the text."""
+    import ray.data
+
+    def keys(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b)
+        return t.select(["doc_id", "md5"])
+
+    ds = _docs_ds(sf_dir).map_batches(keys, batch_format="pyarrow")
+    agg = ds.groupby("md5").aggregate(
+        ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "md5": b.column("md5"),
+            "keep_doc_id": b.column("min(doc_id)").cast(pa.int64()),
+            "dup_count": b.column("count()").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow")
+
+
+SQL_Q_DEDUP_EXACT = (
+    "SELECT md5(text) AS md5, min(doc_id) AS keep_doc_id, "
+    "count(*) AS dup_count FROM documents GROUP BY md5(text)"
+)
+
+
+def q_ngram_dedup_pairs(sf_dir: str):
+    """MinHash(128) + LSH(32x4) + exact shingle-Jaccard verify; equals the
+    exact >=0.8 pair set (miss probability < 1e-7 at the threshold)."""
+    return dedup.minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.8)
+
+
+SQL_Q_NGRAM_DEDUP = """
+WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+       FROM words, unnest(range(1, len(w)-1)) AS t(i)),
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT da AS doc_a, db AS doc_b,
+       (i * 1000) // (ca.n + cb.n - i) AS jaccard_x1000
+FROM inter
+JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+WHERE i * 1000 >= 800 * (ca.n + cb.n - i)
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3) — rows-only check. Signatures
+    computed distributed; the (tiny) signature table is blocked on the
+    driver for pair generation."""
+    sigs = _docs_ds(sf_dir).map_batches(
+        dedup.simhash_batch, batch_format="pyarrow"
+    ).take_all()
+    t = pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in sigs], type=pa.int64()),
+        "simhash": pa.array([int(r["simhash"]) for r in sigs], type=pa.uint64()),
+    })
+    return dedup.simhash_near_pairs(t)
+
+
+def q_embedding_neardup(sf_dir: str):
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    return dedup.embedding_near_pairs(emb, threshold=0.3)
+
+
+SQL_Q_EMB_NEARDUP = (
+    "SELECT a.vec_id AS vec_a, b.vec_id AS vec_b "
+    "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+    "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.3"
+)
+
+
+# --- similarity search -----------------------------------------------------
+
+def _query_vectors(sf_dir: str) -> pa.Table:
+    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    import pyarrow.compute as pc
+
+    return emb.filter(pc.less(emb.column("vec_id"), 10))
+
+
+def q_ann_topk(sf_dir: str):
+    return ann.brute_force_topk(_emb_ds(sf_dir), _query_vectors(sf_dir), k=5)
+
+
+SQL_Q_ANN_TOPK = """
+SELECT query_id, vec_id, rank, cosine_x1e4 FROM (
+  SELECT q.vec_id AS query_id, v.vec_id AS vec_id,
+         row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY list_cosine_similarity(q.embedding, v.embedding) DESC,
+                      v.vec_id) AS rank,
+         CAST(round(list_cosine_similarity(q.embedding, v.embedding) * 10000)
+              AS BIGINT) AS cosine_x1e4
+  FROM embeddings q JOIN embeddings v ON v.vec_id != q.vec_id
+  WHERE q.vec_id < 10
+) WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF approximate top-k — rows-only check (approximation is the point);
+    recall vs brute force asserted in pytest instead."""
+    return ann.ivf_topk(_emb_ds(sf_dir), _query_vectors(sf_dir), k=5)
+
+
+# --- multimodal ------------------------------------------------------------
+
+def q_media_decode(sf_dir: str):
+    """Actor-pool media decode over the synthetic media table (payload
+    bytes + typed metadata; deterministic fake codec) — rows-only check."""
+    import ray.data
+
+    media = multimodal.synthesize_media(64, seed=42)
+    ds = ray.data.from_arrow(media)
+    return multimodal.decode_media_dataset(ds)
