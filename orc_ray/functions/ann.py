@@ -66,13 +66,15 @@ def brute_force_topk(ds, query_table: pa.Table, k: int = 10) -> pa.Table:
     cosine_x1e4)."""
     import ray
 
+    from ..pipelines.encode import _default_concurrency
+
     q_emb, q_ids = _emb_matrix(query_table)
     queries_ref = ray.put((q_ids, _unit(q_emb)))
     parts = ds.map_batches(
         PartialTopK,
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k + 1},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=min(4, _default_concurrency()),
         num_cpus=1,
     ).take_all()
     if not parts:
