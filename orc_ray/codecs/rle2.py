@@ -84,18 +84,21 @@ def _as_i64(v: int) -> int:
 def encode(values: np.ndarray, signed: bool) -> bytes:
     """Encode an int64 array into an RLEv2 byte stream.
 
-    Full-512 variable scopes (the dominant case on non-runny data) are
-    classified and emitted in one vectorized matrix pass; fixed runs and
-    odd-sized scopes fall back to the per-scope emitters."""
+    All variable scopes are classified in one ragged vectorized pass
+    (per-scope percentile widths / monotonicity / fixed-delta flags computed
+    with reduceat kernels over the concatenated scope values); DIRECT scopes
+    with byte-aligned widths are bit-packed in per-width groups. Fixed runs
+    and the rare non-DIRECT scopes use the scalar emitters."""
     v = np.ascontiguousarray(values, dtype=_I64)
     segs = list(_segments(v))
     if not segs:
         return b""
     pieces: list[bytes | None] = [None] * len(segs)
-    full = [i for i, (k, s, e) in enumerate(segs) if k == 1 and e - s == MAX_SCOPE]
-    if len(full) >= 4:
-        starts = np.array([segs[i][1] for i in full], dtype=np.int64)
-        for idx, piece in zip(full, _encode_var_batch(v, starts, signed)):
+    var_idx = [i for i, (k, s, e) in enumerate(segs) if k == 1]
+    if len(var_idx) >= 4:
+        starts = np.array([segs[i][1] for i in var_idx], dtype=np.int64)
+        ends = np.array([segs[i][2] for i in var_idx], dtype=np.int64)
+        for idx, piece in zip(var_idx, _encode_var_ragged(v, starts, ends, signed)):
             pieces[idx] = piece
     for i, (kind, s, e) in enumerate(segs):
         if pieces[i] is not None:
@@ -109,87 +112,134 @@ def encode(values: np.ndarray, signed: bool) -> bytes:
     return b"".join(pieces)
 
 
-def _encode_var_batch(v: np.ndarray, starts: np.ndarray, signed: bool) -> list[bytes]:
-    """Vectorized determineEncoding + emit for k full-512 variable scopes.
-    Replicates the reference's decision tree per scope
-    (runlengthintegerwriterv2.go:265-402); DIRECT scopes (the common case)
-    are bit-packed in per-width groups, the rest delegate to the scalar
-    emitters."""
+def _encode_var_ragged(
+    v: np.ndarray, starts: np.ndarray, ends: np.ndarray, signed: bool
+) -> list[bytes]:
+    """Vectorized determineEncoding + emit for k variable scopes of any
+    sizes. Stats follow runlengthintegerwriterv2.go:265-402 exactly."""
     k = len(starts)
-    n = MAX_SCOPE
-    idx = starts[:, None] + np.arange(n)
-    M = v[idx]  # (k, 512) int64
-    ZZ = zigzag_encode(M.ravel()).reshape(k, n) if signed else M.view(_U64)
+    lengths = ends - starts
+    total = int(lengths.sum())
+    off = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off[1:])
+    seg_of = np.repeat(np.arange(k), lengths)
+    flat_idx = starts[seg_of] + (np.arange(total, dtype=np.int64) - off[:-1][seg_of])
+    V = v[flat_idx]
+    ZZ = zigzag_encode(V) if signed else V.view(_U64)
 
-    # per-scope percentile widths from a (k, 32) width-code histogram
-    codes = _ENC_CODE_OF[bit_length_u64(ZZ.ravel())].reshape(k, n)
-    flat = (np.arange(k)[:, None] * 32 + codes).ravel()
-    hist = np.bincount(flat, minlength=k * 32).reshape(k, 32)
-    zz100 = _pct_from_hist(hist, n, 1.0)
-    zz90 = _pct_from_hist(hist, n, 0.9)
+    # per-scope percentile widths from ragged histograms
+    codes = _ENC_CODE_OF[bit_length_u64(ZZ)]
+    hist = np.bincount(seg_of * 32 + codes, minlength=k * 32).reshape(k, 32)
+    zz100 = _pct_from_hist_ragged(hist, lengths, 1.0)
+    zz90 = _pct_from_hist_ragged(hist, lengths, 0.9)
 
-    D = M[:, 1:] - M[:, :-1]
-    initial = D[:, 0]
-    is_fixed = np.all(D == initial[:, None], axis=1)
-    is_inc = np.all(M[:, 1:] >= M[:, :-1], axis=1)
-    is_dec = np.all(M[:, 1:] <= M[:, :-1], axis=1)
-    vmin = M.min(axis=1)
-    vmax = M.max(axis=1)
-    diff = vmax - vmin  # wrapping
+    # delta stats: boundary gaps neutralized per reduction
+    is_first = np.zeros(total, dtype=bool)
+    is_first[off[:-1][lengths > 0]] = True
+    D = np.empty(total, dtype=_I64)
+    if total:
+        D[0] = 0
+        np.subtract(V[1:], V[:-1], out=D[1:])
+    # initial delta per scope (scopes of length 1 get 0)
+    has2 = lengths >= 2
+    initial = np.zeros(k, dtype=_I64)
+    first_pos = off[:-1]
+    initial[has2] = D[first_pos[has2] + 1]
+    # is_fixed: every in-scope delta equals initial
+    eq_init = D == initial[seg_of]
+    eq_init[is_first] = True
+    is_fixed = np.logical_and.reduceat(eq_init, off[:-1]) if k else np.empty(0, bool)
+    # monotonicity (direct comparisons)
+    geq = np.empty(total, dtype=bool)
+    leq = np.empty(total, dtype=bool)
+    if total:
+        geq[0] = True
+        leq[0] = True
+        np.greater_equal(V[1:], V[:-1], out=geq[1:])
+        np.less_equal(V[1:], V[:-1], out=leq[1:])
+    geq[is_first] = True
+    leq[is_first] = True
+    is_inc = np.logical_and.reduceat(geq, off[:-1])
+    is_dec = np.logical_and.reduceat(leq, off[:-1])
+    vmin = np.minimum.reduceat(V, off[:-1])
+    vmax = np.maximum.reduceat(V, off[:-1])
+    diff = vmax - vmin
     safe = ((vmax ^ vmin) >= 0) | ((vmax ^ diff) >= 0)
     const = vmin == vmax
+    short = lengths <= MIN_REPEAT
+    mono = (initial != 0) & (is_inc | is_dec)
 
-    direct = ~safe | (safe & ~const & ~is_fixed &
-                      ~((initial != 0) & (is_inc | is_dec)) & (zz100 - zz90 <= 1))
-    maybe_patched = ~direct & safe & ~const & ~is_fixed & \
-        ~((initial != 0) & (is_inc | is_dec))
+    direct = short | ~safe | (safe & ~const & ~is_fixed & ~mono & (zz100 - zz90 <= 1))
+    maybe_patched = ~direct & safe & ~const & ~is_fixed & ~mono
 
     pieces: list[bytes | None] = [None] * k
-    # DIRECT scopes grouped by aligned width
+
+    # DIRECT scopes: group-pack per aligned width when per-scope bit counts
+    # are byte-aligned (widths that are multiples of 8; or all lengths even
+    # enough). Others fall through to per-scope packing.
     direct_idx = np.flatnonzero(direct)
     if len(direct_idx):
         fbs = _CLOSEST_ALIGNED_ARR[zz100[direct_idx]]
         for fb in np.unique(fbs):
+            fb = int(fb)
             rows = direct_idx[fbs == fb]
-            packed = pack_bits(ZZ[rows].ravel(), int(fb))
-            per = n * int(fb) // 8
-            header = bytes([(DIRECT << 6) | (encode_bit_width(int(fb)) << 1) | 1,
-                            (n - 1) & 0xFF])
-            for j, r in enumerate(rows):
-                pieces[r] = header + packed[j * per: (j + 1) * per]
-    # the rest: scalar emitters (rare on non-degenerate data)
+            if fb % 8 == 0 and len(rows) > 1:
+                sel = np.zeros(total, dtype=bool)
+                for r in rows:  # mark scope ranges (few ops per scope)
+                    sel[off[r]: off[r + 1]] = True
+                packed = pack_bits(ZZ[sel], fb)
+                per = (lengths[rows] * fb // 8)
+                boundaries = np.zeros(len(rows) + 1, dtype=np.int64)
+                np.cumsum(per, out=boundaries[1:])
+                for j, r in enumerate(rows):
+                    run = int(lengths[r]) - 1
+                    header = bytes([
+                        (DIRECT << 6) | (encode_bit_width(fb) << 1) | ((run & 0x100) >> 8),
+                        run & 0xFF,
+                    ])
+                    pieces[r] = header + packed[boundaries[j]: boundaries[j + 1]]
+            else:
+                for r in rows:
+                    run = int(lengths[r]) - 1
+                    header = bytes([
+                        (DIRECT << 6) | (encode_bit_width(fb) << 1) | ((run & 0x100) >> 8),
+                        run & 0xFF,
+                    ])
+                    pieces[r] = header + pack_bits(ZZ[off[r]: off[r + 1]], fb)
+
     for r in np.flatnonzero(~direct):
         out = bytearray()
+        seg = V[off[r]: off[r + 1]]
         if const[r]:
-            _emit_delta_fixed(out, int(vmin[r]), 0, n, signed)
+            _emit_delta_fixed(out, int(vmin[r]), 0, int(lengths[r]), signed)
         elif is_fixed[r]:
-            _emit_delta_fixed(out, int(M[r, 0]), int(initial[r]), n, signed)
-        elif (initial[r] != 0) and (is_inc[r] or is_dec[r]):
-            abs_tail = np.abs(D[r, 1:])
-            delta_max = max(int(initial[r]), int(abs_tail.max()))
+            _emit_delta_fixed(out, int(seg[0]), int(initial[r]), int(lengths[r]), signed)
+        elif mono[r]:
+            deltas = D[off[r] + 1: off[r + 1]]
+            abs_tail = np.abs(deltas[1:])
+            delta_max = int(initial[r])
+            if len(abs_tail):
+                delta_max = max(delta_max, int(abs_tail.max()))
             bits_delta_max = get_closest_fixed_bits(_u64(delta_max).bit_length())
-            _emit_delta_var(out, M[r], int(initial[r]), abs_tail, bits_delta_max, signed)
+            _emit_delta_var(out, seg, int(initial[r]), abs_tail, bits_delta_max, signed)
         elif maybe_patched[r]:
-            base_red = (M[r] - vmin[r]).view(_U64)
+            base_red = (seg - vmin[r]).view(_U64)
             br95 = percentile_bits(base_red, 0.95)
             br100 = percentile_bits(base_red, 1.0)
             if br100 - br95 != 0:
                 _emit_patched_base(out, base_red, int(vmin[r]), br95, br100)
             else:
-                _emit_direct(out, ZZ[r], int(zz100[r]))
+                _emit_direct(out, ZZ[off[r]: off[r + 1]], int(zz100[r]))
         else:
-            _emit_direct(out, ZZ[r], int(zz100[r]))
+            _emit_direct(out, ZZ[off[r]: off[r + 1]], int(zz100[r]))
         pieces[r] = bytes(out)
     return pieces  # type: ignore[return-value]
 
 
-def _pct_from_hist(hist: np.ndarray, n: int, p: float) -> np.ndarray:
-    """Vectorized percentileBits over per-scope histograms: width where the
-    top-down cumulative count exceeds n*(1-p)."""
-    per_len = float(n) * (1.0 - p)
-    rev = hist[:, ::-1]
-    cum = np.cumsum(rev, axis=1)
-    j = np.argmax(cum > per_len, axis=1)
+def _pct_from_hist_ragged(hist: np.ndarray, lengths: np.ndarray, p: float) -> np.ndarray:
+    per_len = lengths.astype(np.float64) * (1.0 - p)
+    cum = np.cumsum(hist[:, ::-1], axis=1)
+    j = np.argmax(cum > per_len[:, None], axis=1)
     return _DECODE_BW_ARR[31 - j]
 
 
@@ -208,21 +258,20 @@ def _segments(v: np.ndarray):
     run_bounds[0] = 0
     run_bounds[1:-1] = change_idx + 1
     run_bounds[-1] = n
-    run_starts = run_bounds[:-1]
-    run_ends = run_bounds[1:]
-    big = (run_ends - run_starts) >= MIN_REPEAT
-    big_starts = run_starts[big]
-    big_ends = run_ends[big]
+    big = (run_bounds[1:] - run_bounds[:-1]) >= MIN_REPEAT
+    big_starts = run_bounds[:-1][big].tolist()  # python ints: fast iteration
+    big_ends = run_bounds[1:][big].tolist()
+    run_ends = run_bounds[1:].tolist()
     nbig = len(big_starts)
 
     c = 0
     ri = 0  # run containing c
     bj = 0  # next big run with start > current variable-span start
-    nruns = len(run_starts)
+    nruns = len(run_ends)
     while c < n:
         while ri < nruns and run_ends[ri] <= c:
             ri += 1
-        re = int(run_ends[ri])
+        re = run_ends[ri]
         L = re - c
         if L >= MIN_REPEAT:
             # fixed run from c (covers both full runs and post-512-cut tails)
@@ -240,7 +289,7 @@ def _segments(v: np.ndarray):
         s = c
         while bj < nbig and big_starts[bj] <= s:
             bj += 1
-        t = int(big_starts[bj]) if bj < nbig else -1
+        t = big_starts[bj] if bj < nbig else -1
         while True:
             if t != -1 and t + 2 <= s + MAX_SCOPE - 1:
                 # carve-out: flush variable prefix, fixed run continues at t
@@ -257,7 +306,7 @@ def _segments(v: np.ndarray):
             s = e
             while bj < nbig and big_starts[bj] <= s:
                 bj += 1
-            t = int(big_starts[bj]) if bj < nbig else -1
+            t = big_starts[bj] if bj < nbig else -1
 
 
 def _emit_fixed(out: bytearray, val: int, length: int, signed: bool) -> None:

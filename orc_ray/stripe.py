@@ -92,7 +92,11 @@ class _BlobWriter:
     def add(self, column: str, kind: str, codec: str, data: bytes, **extra) -> None:
         raw_len = len(data)
         outer = "none"
-        if raw_len > 0 and self.outer in ("zlib", "auto"):
+        # fsst/zlib payloads are already entropy-coded AND were already
+        # measured against plain zlib in _encode_blob — recompressing only
+        # burns CPU without improving the <=-reference guarantee
+        attempt = codec not in ("fsst", "zlib")
+        if raw_len > 0 and attempt and self.outer in ("zlib", "auto"):
             z = zlibchunk.compress(data, level=self.zlib_level)
             if self.outer == "zlib" or len(z) < raw_len:
                 data, outer = z, "zlib"
