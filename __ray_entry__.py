@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_tokens": q.q_roundtrip_tokens,
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
+        "events_roundtrip": q.q_events_roundtrip,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -69,6 +70,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_tokens": q.SQL_ROUNDTRIP_TOKENS,
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
+        "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "fingerprint": x.SQL_Q_FINGERPRINT,

@@ -1,0 +1,135 @@
+"""CLI entry points (the tools/orc2csv analogue, /root/reference/tools/
+orc2csv/main.go:19-66, generalized).
+
+  python -m orc_ray encode  --input 'shards/*.parquet' --out enc_dir
+  python -m orc_ray decode  --dir enc_dir --out out.csv [--columns a,b]
+  python -m orc_ray stats   --dir enc_dir
+  python -m orc_ray schema  --dir enc_dir
+
+These commands own their Ray session (guarded; the driver contract never
+routes through here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _ensure_ray(cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False}
+        if cpus:
+            kwargs["num_cpus"] = cpus
+        ray.init(**kwargs)
+
+
+def cmd_encode(args) -> int:
+    from .config import EncoderConfig
+    from .pipelines.encode import encode_job
+
+    _ensure_ray(args.cpus)
+    paths = sorted(glob.glob(args.input))
+    if not paths:
+        print(f"no inputs match {args.input}", file=sys.stderr)
+        return 1
+    cfg = EncoderConfig(stripe_target_tokens=args.stripe_tokens)
+    summary = encode_job(paths, args.out, cfg, resume=not args.no_resume)
+    print(json.dumps(summary, indent=2))
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .pipelines.decode import decode_table
+
+    columns = args.columns.split(",") if args.columns else None
+    table = decode_table(args.dir, columns=columns)
+    if table is None:
+        print("empty encoded dir", file=sys.stderr)
+        return 1
+    if args.out.endswith(".parquet"):
+        import pyarrow.parquet as pq
+
+        pq.write_table(table, args.out)
+    elif args.out.endswith(".csv"):
+        import pyarrow.csv as pacsv
+
+        drop = [f.name for f in table.schema if not _csv_ok(f.type)]
+        if drop:
+            print(f"note: dropping non-csv columns {drop}", file=sys.stderr)
+            table = table.drop_columns(drop)
+        pacsv.write_csv(table, args.out)
+    else:
+        print("out must end in .csv or .parquet", file=sys.stderr)
+        return 1
+    print(f"wrote {table.num_rows} rows to {args.out}")
+    return 0
+
+
+def _csv_ok(t) -> bool:
+    import pyarrow as pa
+
+    return not (pa.types.is_nested(t) or pa.types.is_binary(t)
+                or pa.types.is_large_binary(t))
+
+
+def cmd_stats(args) -> int:
+    from .state.manifest import manifest_summary
+
+    print(json.dumps(manifest_summary(args.dir), indent=2))
+    return 0
+
+
+def cmd_schema(args) -> int:
+    import base64
+    import pyarrow as pa
+
+    from .schema import schema_ddl
+    from .state.manifest import read_manifest
+
+    man = read_manifest(args.dir)
+    if not man.num_rows:
+        print("empty encoded dir", file=sys.stderr)
+        return 1
+    meta = json.loads(man.column("meta_json")[0].as_py())
+    schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(meta["schema_b64"])))
+    print(schema_ddl(schema))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="orc_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="parquet shards -> stripe blobs + manifests")
+    p.add_argument("--input", required=True, help="glob of parquet shards")
+    p.add_argument("--out", required=True)
+    p.add_argument("--stripe-tokens", type=int, default=4_000_000)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="encoded dir -> csv/parquet")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--columns", default="")
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("stats", help="manifest summary")
+    p.add_argument("--dir", required=True)
+    p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("schema", help="print encoded dataset schema as DDL")
+    p.add_argument("--dir", required=True)
+    p.set_defaults(fn=cmd_schema)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

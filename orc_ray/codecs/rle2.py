@@ -45,6 +45,12 @@ from .bitpack import (
 _ENC_CODE_OF = _ENCODE_BW[_CLOSEST_FIXED]  # bit length (0..64) -> width code
 _CLOSEST_ALIGNED_ARR = _CLOSEST_ALIGNED
 _DECODE_BW_ARR = DECODE_BIT_WIDTH
+# per width code, the largest value representable at that width (uint64):
+# searchsorted(_WIDTH_UPPER, x) == encodeBitWidth(findClosestNumBits(x))
+_WIDTH_UPPER = np.array(
+    [(1 << int(w)) - 1 if w < 64 else (1 << 64) - 1 for w in DECODE_BIT_WIDTH],
+    dtype=np.uint64,
+)
 from .varint import (
     read_vslong,
     read_vulong,
@@ -123,12 +129,17 @@ def _encode_var_ragged(
     off = np.zeros(k + 1, dtype=np.int64)
     np.cumsum(lengths, out=off[1:])
     seg_of = np.repeat(np.arange(k), lengths)
-    flat_idx = starts[seg_of] + (np.arange(total, dtype=np.int64) - off[:-1][seg_of])
-    V = v[flat_idx]
+    if total == len(v):
+        V = v  # scopes tile the whole array: no gather needed
+    else:
+        flat_idx = starts[seg_of] + (np.arange(total, dtype=np.int64) - off[:-1][seg_of])
+        V = v[flat_idx]
     ZZ = zigzag_encode(V) if signed else V.view(_U64)
 
-    # per-scope percentile widths from ragged histograms
-    codes = _ENC_CODE_OF[bit_length_u64(ZZ)]
+    # per-scope percentile widths from ragged histograms; width code found
+    # by one searchsorted against the 32 encodable-width upper bounds
+    # (findClosestNumBits + encodeBitWidth fused, no float temps)
+    codes = np.searchsorted(_WIDTH_UPPER, ZZ, side="left")
     hist = np.bincount(seg_of * 32 + codes, minlength=k * 32).reshape(k, 32)
     zz100 = _pct_from_hist_ragged(hist, lengths, 1.0)
     zz90 = _pct_from_hist_ragged(hist, lengths, 0.9)
@@ -149,14 +160,10 @@ def _encode_var_ragged(
     eq_init = D == initial[seg_of]
     eq_init[is_first] = True
     is_fixed = np.logical_and.reduceat(eq_init, off[:-1]) if k else np.empty(0, bool)
-    # monotonicity (direct comparisons)
-    geq = np.empty(total, dtype=bool)
-    leq = np.empty(total, dtype=bool)
-    if total:
-        geq[0] = True
-        leq[0] = True
-        np.greater_equal(V[1:], V[:-1], out=geq[1:])
-        np.less_equal(V[1:], V[:-1], out=leq[1:])
+    # monotonicity from delta signs (valid wherever safe-subtract holds;
+    # unsafe scopes go DIRECT regardless, matching the reference's ordering)
+    geq = D >= 0
+    leq = D <= 0
     geq[is_first] = True
     leq[is_first] = True
     is_inc = np.logical_and.reduceat(geq, off[:-1])

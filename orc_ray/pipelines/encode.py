@@ -188,7 +188,12 @@ def encode_job(
     if todo:
         ds = ray.data.from_items(todo)
         if concurrency is None:
-            concurrency = min(len(todo), _default_concurrency())
+            # from_items has no upstream task operators to starve, so the
+            # pool may take every CPU (unlike streaming map_batches chains)
+            import ray as _ray
+
+            cpus = int(_ray.cluster_resources().get("CPU", 8))
+            concurrency = max(1, min(len(todo), cpus, 32))
         man = ds.map_batches(
             PartitionEncoder,
             fn_constructor_kwargs={"out_dir": out_dir, "config_dict": config.to_dict()},
@@ -199,7 +204,7 @@ def encode_job(
             **remote_args(),
         )
         man.materialize()  # manifest rows only: metadata-sized
-    result.update(mf.manifest_summary(out_dir))
+    result.update(mf.manifest_summary(out_dir, codec_histogram=False))
     return result
 
 

@@ -208,3 +208,24 @@ def q_decode_projection(sf_dir: str):
 
 
 SQL_DECODE_PROJECTION = f"SELECT source, n_tok FROM {_TOKENIZED_FROM}"
+
+
+# --- q: events_roundtrip ---------------------------------------------------
+
+def q_events_roundtrip(sf_dir: str):
+    """Encode -> decode the events table (timestamps, doubles, strings,
+    ints) and return every column unchanged: a full-fidelity round-trip
+    check on a non-token driver table."""
+    import ray.data
+
+    out = _work_dir(sf_dir, "encoded_events")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(ds, out, cfg, batch_rows=4096).materialize()
+    return decode_dataset(out)
+
+
+SQL_EVENTS_ROUNDTRIP = ("SELECT event_id, ts, user_id, event_type, value, props "
+                        "FROM events")

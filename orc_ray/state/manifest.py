@@ -101,10 +101,14 @@ def read_manifest(out_dir: str) -> pa.Table:
     )
     if not files:
         return MANIFEST_SCHEMA.empty_table()
-    return pa.concat_tables([pq.read_table(f) for f in files])
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
+        tables = list(ex.map(pq.read_table, files))
+    return pa.concat_tables(tables)
 
 
-def manifest_summary(out_dir: str) -> dict:
+def manifest_summary(out_dir: str, codec_histogram: bool = True) -> dict:
     """File-level statistics merge (the analogue of the footer's file stats,
     writer.go:458-479): totals + per-codec stream histogram."""
     t = read_manifest(out_dir)
@@ -117,13 +121,14 @@ def manifest_summary(out_dir: str) -> dict:
         "raw_bytes": sum(t.column("raw_bytes").to_pylist()),
         "encoded_bytes": sum(t.column("encoded_bytes").to_pylist()),
     }
-    codec_hist: dict[str, int] = {}
-    for mj in t.column("meta_json").to_pylist():
-        meta = json.loads(mj)
-        for s in meta["streams"]:
-            key = f"{s['column']}:{s['kind']}:{s['codec']}"
-            codec_hist[key] = codec_hist.get(key, 0) + s["length"]
-    summary["stream_bytes_by_codec"] = codec_hist
+    if codec_histogram:
+        codec_hist: dict[str, int] = {}
+        for mj in t.column("meta_json").to_pylist():
+            meta = json.loads(mj)
+            for s in meta["streams"]:
+                key = f"{s['column']}:{s['kind']}:{s['codec']}"
+                codec_hist[key] = codec_hist.get(key, 0) + s["length"]
+        summary["stream_bytes_by_codec"] = codec_hist
     if summary["num_tokens"]:
         summary["bytes_per_token"] = summary["encoded_bytes"] / summary["num_tokens"]
     return summary

@@ -1,0 +1,40 @@
+"""CLI smoke tests (python -m orc_ray ...)."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from orc_ray.__main__ import main
+from orc_ray.sources.tokens import write_synthetic_shards
+
+
+def test_cli_encode_decode_stats_schema(ray_session, tmp_path, capsys):
+    d = tmp_path / "in"
+    write_synthetic_shards(str(d), num_rows=300, num_shards=2, seed=5)
+    enc = str(tmp_path / "enc")
+
+    assert main(["encode", "--input", f"{d}/*.parquet", "--out", enc,
+                 "--stripe-tokens", "50000"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out["num_rows"] == 300
+
+    csv_path = str(tmp_path / "out.csv")
+    assert main(["decode", "--dir", enc, "--out", csv_path,
+                 "--columns", "doc_id,n_tok,source"]) == 0
+    lines = open(csv_path).read().strip().splitlines()
+    assert len(lines) == 301  # header + rows
+
+    pq_path = str(tmp_path / "out.parquet")
+    assert main(["decode", "--dir", enc, "--out", pq_path]) == 0
+    t = pq.read_table(pq_path)
+    assert t.num_rows == 300 and "tokens" in t.column_names
+
+    capsys.readouterr()
+    assert main(["stats", "--dir", enc]) == 0
+    stats = json.loads(capsys.readouterr().out)
+    assert stats["num_rows"] == 300 and stats["bytes_per_token"] > 0
+
+    assert main(["schema", "--dir", enc]) == 0
+    ddl = capsys.readouterr().out.strip().splitlines()[-1]
+    assert ddl.startswith("struct<doc_id:string,tokens:array<int>")
