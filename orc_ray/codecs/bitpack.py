@@ -98,9 +98,12 @@ def percentile_bits(x_u64: np.ndarray, p: float) -> int:
 
 
 def pack_bits(vals: np.ndarray, width: int) -> bytes:
-    """Pack the low ``width`` bits of each uint64 value, MSB-first,
-    contiguous across bytes. Caller guarantees values fit in ``width`` bits
-    (excess high bits are masked off)."""
+    """Pack the low ``width`` bits of each value, MSB-first, contiguous
+    across bytes. Accepts uint32 input natively for width <= 32 (half the
+    memory traffic on int32 token streams); other dtypes go through uint64.
+    Caller guarantees values fit in ``width`` bits (excess bits masked)."""
+    if vals.dtype == np.uint32 and width <= 32:
+        return _pack_bits_u32(np.ascontiguousarray(vals), width)
     vals = np.ascontiguousarray(vals, dtype=_U64)
     n = len(vals)
     if n == 0:
@@ -121,6 +124,27 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
     # generic: explicit bit matrix, MSB-first per value
     shifts = (_U64(width) - _U64(1) - np.arange(width, dtype=_U64))
     bits = ((vals[:, None] >> shifts[None, :]) & _U64(1)).astype(_U8)
+    return np.packbits(bits.ravel()).tobytes()
+
+
+def _pack_bits_u32(vals: np.ndarray, width: int) -> bytes:
+    n = len(vals)
+    if n == 0:
+        return b""
+    if width < 32:
+        vals = vals & np.uint32((1 << width) - 1)
+    if width == 8:
+        return vals.astype(_U8).tobytes()
+    if width == 16:
+        return vals.astype(">u2").tobytes()
+    if width == 32:
+        return vals.astype(">u4").tobytes()
+    if width % 8 == 0:  # 24
+        be = vals.byteswap().view(_U8).reshape(n, 4)[:, 4 - width // 8:]
+        return np.ascontiguousarray(be).tobytes()
+    u32 = np.uint32
+    shifts = (u32(width) - u32(1) - np.arange(width, dtype=u32))
+    bits = ((vals[:, None] >> shifts[None, :]) & u32(1)).astype(_U8)
     return np.packbits(bits.ravel()).tobytes()
 
 

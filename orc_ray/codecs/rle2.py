@@ -51,6 +51,10 @@ _WIDTH_UPPER = np.array(
     [(1 << int(w)) - 1 if w < 64 else (1 << 64) - 1 for w in DECODE_BIT_WIDTH],
     dtype=np.uint64,
 )
+_WIDTH_UPPER32 = np.array(
+    [min((1 << int(w)) - 1, (1 << 32) - 1) for w in DECODE_BIT_WIDTH],
+    dtype=np.uint32,
+)
 from .varint import (
     read_vslong,
     read_vulong,
@@ -58,6 +62,7 @@ from .varint import (
     write_vulong,
     zigzag_decode,
     zigzag_encode,
+    zigzag_encode32,
 )
 
 _U64 = np.uint64
@@ -94,8 +99,21 @@ def encode(values: np.ndarray, signed: bool) -> bytes:
     (per-scope percentile widths / monotonicity / fixed-delta flags computed
     with reduceat kernels over the concatenated scope values); DIRECT scopes
     with byte-aligned widths are bit-packed in per-width groups. Fixed runs
-    and the rare non-DIRECT scopes use the scalar emitters."""
-    v = np.ascontiguousarray(values, dtype=_I64)
+    and the rare non-DIRECT scopes use the scalar emitters.
+
+    int32 inputs whose value range fits 32-bit delta arithmetic stay in
+    32-bit end-to-end (identical output bytes, half the memory traffic —
+    the dominant cost for token streams under many concurrent workers)."""
+    values = np.asarray(values)
+    if values.dtype == np.int32 and len(values):
+        vmn = int(values.min())
+        vmx = int(values.max())
+        if (vmx - vmn) <= 2**31 - 1 and (signed or vmn >= 0):
+            v = np.ascontiguousarray(values)
+        else:
+            v = np.ascontiguousarray(values, dtype=_I64)
+    else:
+        v = np.ascontiguousarray(values, dtype=_I64)
     segs = list(_segments(v))
     if not segs:
         return b""
@@ -113,7 +131,7 @@ def encode(values: np.ndarray, signed: bool) -> bytes:
         if kind == 0:
             _emit_fixed(out, int(v[s]), e - s, signed)
         else:
-            _emit_variable(out, v[s:e], signed)
+            _emit_variable(out, v[s:e].astype(_I64, copy=False), signed)
         pieces[i] = bytes(out)
     return b"".join(pieces)
 
@@ -124,6 +142,7 @@ def _encode_var_ragged(
     """Vectorized determineEncoding + emit for k variable scopes of any
     sizes. Stats follow runlengthintegerwriterv2.go:265-402 exactly."""
     k = len(starts)
+    narrow = v.dtype == np.int32
     lengths = ends - starts
     total = int(lengths.sum())
     off = np.zeros(k + 1, dtype=np.int64)
@@ -134,12 +153,15 @@ def _encode_var_ragged(
     else:
         flat_idx = starts[seg_of] + (np.arange(total, dtype=np.int64) - off[:-1][seg_of])
         V = v[flat_idx]
-    ZZ = zigzag_encode(V) if signed else V.view(_U64)
+    if narrow:
+        ZZ = zigzag_encode32(V) if signed else V.view(np.uint32)
+    else:
+        ZZ = zigzag_encode(V) if signed else V.view(_U64)
 
     # per-scope percentile widths from ragged histograms; width code found
     # by one searchsorted against the 32 encodable-width upper bounds
     # (findClosestNumBits + encodeBitWidth fused, no float temps)
-    codes = np.searchsorted(_WIDTH_UPPER, ZZ, side="left")
+    codes = np.searchsorted(_WIDTH_UPPER32 if narrow else _WIDTH_UPPER, ZZ, side="left")
     hist = np.bincount(seg_of * 32 + codes, minlength=k * 32).reshape(k, 32)
     zz100 = _pct_from_hist_ragged(hist, lengths, 1.0)
     zz90 = _pct_from_hist_ragged(hist, lengths, 0.9)
@@ -147,13 +169,13 @@ def _encode_var_ragged(
     # delta stats: boundary gaps neutralized per reduction
     is_first = np.zeros(total, dtype=bool)
     is_first[off[:-1][lengths > 0]] = True
-    D = np.empty(total, dtype=_I64)
+    D = np.empty(total, dtype=V.dtype)
     if total:
         D[0] = 0
         np.subtract(V[1:], V[:-1], out=D[1:])
     # initial delta per scope (scopes of length 1 get 0)
     has2 = lengths >= 2
-    initial = np.zeros(k, dtype=_I64)
+    initial = np.zeros(k, dtype=V.dtype)
     first_pos = off[:-1]
     initial[has2] = D[first_pos[has2] + 1]
     # is_fixed: every in-scope delta equals initial
@@ -170,8 +192,13 @@ def _encode_var_ragged(
     is_dec = np.logical_and.reduceat(leq, off[:-1])
     vmin = np.minimum.reduceat(V, off[:-1])
     vmax = np.maximum.reduceat(V, off[:-1])
-    diff = vmax - vmin
-    safe = ((vmax ^ vmin) >= 0) | ((vmax ^ diff) >= 0)
+    if narrow:
+        # the 32-bit path is only entered when the global range fits int32
+        # delta arithmetic, so int64 subtraction can never overflow
+        safe = np.ones(k, dtype=bool)
+    else:
+        diff = vmax - vmin
+        safe = ((vmax ^ vmin) >= 0) | ((vmax ^ diff) >= 0)
     const = vmin == vmax
     short = lengths <= MIN_REPEAT
     mono = (initial != 0) & (is_inc | is_dec)
@@ -217,12 +244,14 @@ def _encode_var_ragged(
     for r in np.flatnonzero(~direct):
         out = bytearray()
         seg = V[off[r]: off[r + 1]]
+        if narrow:
+            seg = seg.astype(_I64)
         if const[r]:
             _emit_delta_fixed(out, int(vmin[r]), 0, int(lengths[r]), signed)
         elif is_fixed[r]:
             _emit_delta_fixed(out, int(seg[0]), int(initial[r]), int(lengths[r]), signed)
         elif mono[r]:
-            deltas = D[off[r] + 1: off[r + 1]]
+            deltas = D[off[r] + 1: off[r + 1]].astype(_I64, copy=False)
             abs_tail = np.abs(deltas[1:])
             delta_max = int(initial[r])
             if len(abs_tail):

@@ -30,6 +30,15 @@ def zigzag_decode(u: np.ndarray) -> np.ndarray:
     return ((u >> _U64(1)) ^ neg).view(_I64)
 
 
+def zigzag_encode32(v: np.ndarray) -> np.ndarray:
+    """32-bit zigzag: int32 -> uint32 (equals the int64 zigzag for values in
+    int32 range, at half the memory traffic)."""
+    v = np.ascontiguousarray(v, dtype=np.int32)
+    u = v.view(np.uint32)
+    sign = (v >> np.int32(31)).view(np.uint32)
+    return (u << np.uint32(1)) ^ sign
+
+
 def zigzag_encode_scalar(v: int) -> int:
     """Scalar zigzag on a 64-bit-wrapped Python int -> unsigned value."""
     v &= 0xFFFFFFFFFFFFFFFF

@@ -37,8 +37,13 @@ def _sample(values: np.ndarray, max_n: int) -> np.ndarray:
 
 
 def _delta_view(values: np.ndarray) -> np.ndarray:
-    """Global first-order deltas (invertible by cumsum regardless of row
-    boundaries)."""
+    """Global first-order deltas (invertible by int64 cumsum regardless of
+    row boundaries). Deltas of int32 inputs stay int32 only when the value
+    range guarantees no wraparound."""
+    if values.dtype == np.int32 and len(values):
+        vmn, vmx = int(values.min()), int(values.max())
+        if vmx - vmn > 2**31 - 1:
+            values = values.astype(np.int64)
     d = np.empty_like(values)
     if len(values):
         d[0] = values[0]

@@ -71,6 +71,8 @@ def _int_view(arr: pa.Array) -> np.ndarray:
         storage = np.dtype(t.to_pandas_dtype())
     buf = arr.buffers()[1]
     vals = np.frombuffer(buf, dtype=storage, count=arr.offset + len(arr))[arr.offset:]
+    if vals.dtype == np.int32:
+        return vals  # rle2 has a native 32-bit path; others upcast lazily
     return vals.astype(np.int64, copy=False)
 
 
