@@ -23,6 +23,25 @@ _I64 = np.int64
 BASE_SECONDS = 1420070400
 NS = 1_000_000_000
 
+UNIT_PER_SEC = {"s": 1, "ms": 1_000, "us": 1_000_000, "ns": NS}
+
+
+def split_unit(vals: np.ndarray, unit: str) -> tuple[np.ndarray, np.ndarray]:
+    """int64 values in an Arrow timestamp unit -> (seconds - base,
+    formatted nanos). Sub-second fractions scale exactly to nanos."""
+    f = UNIT_PER_SEC[unit]
+    v = np.ascontiguousarray(vals, dtype=_I64)
+    secs = np.floor_divide(v, f)
+    frac = v - secs * f
+    return secs - BASE_SECONDS, format_nanos(frac * (NS // f))
+
+
+def join_unit(secs_rel: np.ndarray, fmt_nanos: np.ndarray, unit: str) -> np.ndarray:
+    f = UNIT_PER_SEC[unit]
+    secs = np.ascontiguousarray(secs_rel, dtype=_I64) + BASE_SECONDS
+    nanos = parse_nanos(fmt_nanos)
+    return secs * f + nanos // (NS // f)
+
 
 def split_ns(ts_ns: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """int64 ns-since-epoch -> (seconds - base, formatted nanos)."""

@@ -233,6 +233,27 @@ def _encode_column(
     if valid is not None:
         w.add(name, "PRESENT", "boolrle", byterle.encode_bools(valid))
 
+    if pa.types.is_timestamp(t):
+        # ORC split codec (C18): DATA = seconds since 2015-01-01 (signed),
+        # SECONDARY = nanos with packed trailing-zero count (formatNanos)
+        from .codecs.timestamp import split_unit
+
+        vals = _int_view(arr)
+        if valid is not None:
+            vals = vals[valid]
+        secs_rel, fmt_nanos = split_unit(vals, t.unit)
+        codec = _select_int(selector, group, f"{name}:DATA", secs_rel, True, config)
+        w.add(name, "DATA", codec, encode_int_stream(secs_rel, codec, True),
+              signed=True)
+        n_codec = _select_int(selector, group, f"{name}:SECONDARY", fmt_nanos,
+                              False, config, ("rle2", "for"))
+        w.add(name, "SECONDARY", n_codec,
+              encode_int_stream(fmt_nanos, n_codec, False), signed=False)
+        meta["encoding"] = "timestamp"
+        meta["unit"] = t.unit
+        meta["stats"] = _int_stats(np.asarray(vals, dtype=np.int64))
+        return meta
+
     if _is_int_like(t):
         vals = _int_view(arr)
         if valid is not None:
@@ -273,6 +294,22 @@ def _encode_column(
 
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return _encode_list_column(name, arr, valid, w, config, selector, group, meta)
+
+    if pa.types.is_struct(t):
+        # C22: struct = PRESENT + children (treewriter.go:304-384). Children
+        # are encoded full-length (Arrow keeps child slots under null
+        # structs), so reassembly is exact.
+        children_meta = []
+        for i, field in enumerate(t):
+            child = arr.field(i)
+            children_meta.append(
+                _encode_column(f"{name}.{field.name}", child, w, config,
+                               selector, group)
+            )
+        meta["encoding"] = "struct"
+        meta["children"] = children_meta
+        meta["stats"] = {"num_values": len(arr) - arr.null_count}
+        return meta
 
     raise NotImplementedError(f"column type not supported yet: {t}")
 
@@ -394,6 +431,30 @@ def _decode_column(blob, cm, t, streams, outer, n_rows) -> pa.Array:
     n_vals = n_rows - null_count
 
     enc = cm["encoding"]
+    if enc == "struct":
+        children = []
+        for i, field in enumerate(t):
+            child_n = n_rows  # children are full-length
+            children.append(
+                _decode_column(blob, cm["children"][i], field.type, streams,
+                               outer, child_n)
+            )
+        mask = None if valid is None else ~valid
+        return pa.StructArray.from_arrays(
+            children, fields=list(t),
+            mask=pa.array(mask) if mask is not None else None,
+        )
+    if enc == "timestamp":
+        from .codecs.timestamp import join_unit
+
+        rec = _rec(streams, name, "DATA")
+        secs_rel = decode_int_stream(_stream_bytes(blob, rec, outer),
+                                     rec["codec"], True, n_vals)
+        srec = _rec(streams, name, "SECONDARY")
+        fmt_nanos = decode_int_stream(_stream_bytes(blob, srec, outer),
+                                      srec["codec"], False, n_vals)
+        vals = join_unit(secs_rel, fmt_nanos, cm["unit"])
+        return _int_array(vals, t, valid, n_rows)
     if enc == "int":
         rec = _rec(streams, name, "DATA")
         vals = decode_int_stream(

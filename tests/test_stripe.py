@@ -157,3 +157,40 @@ def test_large_list_roundtrip():
     lst = pa.LargeListArray.from_arrays(offsets, vals)
     table = pa.table({"ll": lst})
     _roundtrip(table)
+
+
+def test_timestamp_split_codec_roundtrip():
+    import pyarrow.parquet as pq
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    blob, meta = encode_table(t)
+    out = decode_blob(blob, meta)
+    assert out.equals(t.combine_chunks())
+    cols = {c["name"]: c for c in meta["columns"]}
+    assert cols["ts"]["encoding"] == "timestamp"
+    kinds = {(s["column"], s["kind"]) for s in meta["streams"]}
+    assert ("ts", "SECONDARY") in kinds
+
+
+def test_nested_struct_roundtrip():
+    # writer_test.go:39 nested-structs schema shape
+    rng = np.random.default_rng(4)
+    n = 500
+    inner2 = pa.StructArray.from_arrays(
+        [pa.array(rng.integers(0, 100, n), type=pa.int32())], names=["int2"])
+    inner = pa.StructArray.from_arrays(
+        [pa.array(rng.random(n)), inner2], names=["double2", "nested"])
+    t = pa.table({
+        "string1": pa.array([f"s{i % 7}" for i in range(n)]),
+        "int1": pa.array(rng.integers(0, 1000, n), type=pa.int32()),
+        "nested": inner,
+    })
+    _roundtrip(t)
+
+
+def test_nullable_struct_roundtrip():
+    s = pa.array(
+        [{"a": 1, "b": "x"}, None, {"a": 3, "b": None}] * 20,
+        type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+    )
+    _roundtrip(pa.table({"st": s}))
