@@ -29,7 +29,7 @@ def entry() -> Any:
     out = encoded_dir(sf_dir, fresh=True)
     res = verify_encoded(tokens_dataset(sf_dir), out)
     assert res["match"], f"round-trip mismatch: {res}"
-    return decode_dataset(out)
+    return decode_dataset(out, concurrency=4)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

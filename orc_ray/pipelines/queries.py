@@ -52,8 +52,10 @@ def encoded_dir(sf_dir: str, fresh: bool = True) -> str:
     if fresh and os.path.isdir(out):
         shutil.rmtree(out)
     cfg = EncoderConfig(stripe_target_tokens=500_000)
+    # correctness-scale runs: small pools spin up much faster and the data
+    # is tiny; production encode_job sizes pools to the cluster instead
     man = encode_dataset_streaming(tokens_dataset(sf_dir), out, cfg,
-                                   batch_rows=4096)
+                                   batch_rows=4096, concurrency=4)
     man.materialize()
     return out
 
@@ -135,7 +137,8 @@ def q_roundtrip_tokens(sf_dir: str):
     """Full encode -> decode round-trip; rows summarized from the DECODED
     table, so any decode corruption breaks the oracle compare."""
     out = encoded_dir(sf_dir, fresh=True)
-    return decode_dataset(out).map_batches(_row_summaries, batch_format="pyarrow")
+    return decode_dataset(out, concurrency=4).map_batches(
+        _row_summaries, batch_format="pyarrow")
 
 
 SQL_ROUNDTRIP_TOKENS = (
@@ -202,7 +205,7 @@ def q_decode_projection(sf_dir: str):
             "n_tok": b.column("n_tok").cast(pa.int64()),
         })
 
-    return decode_dataset(out, columns=["source", "n_tok"]).map_batches(
+    return decode_dataset(out, columns=["source", "n_tok"], concurrency=4).map_batches(
         cast_ntok, batch_format="pyarrow"
     )
 
@@ -223,8 +226,9 @@ def q_events_roundtrip(sf_dir: str):
         shutil.rmtree(out)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"))
     cfg = EncoderConfig(stripe_target_tokens=500_000)
-    encode_dataset_streaming(ds, out, cfg, batch_rows=4096).materialize()
-    return decode_dataset(out)
+    encode_dataset_streaming(ds, out, cfg, batch_rows=4096,
+                             concurrency=4).materialize()
+    return decode_dataset(out, concurrency=4)
 
 
 SQL_EVENTS_ROUNDTRIP = ("SELECT event_id, ts, user_id, event_type, value, props "

@@ -39,13 +39,19 @@ def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
 
 
 def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-segment hash sum((v+K) * P^pos_in_segment) mod 2^64."""
+    """Per-segment hash sum((v+K) * P^pos_in_segment) mod 2^64. Powers come
+    from one wrapped cumprod table + a gather (positions repeat per row)."""
     n = len(offsets) - 1
     if len(values) == 0:
         return np.zeros(n, dtype=_U64)
     lengths = np.diff(offsets)
     pos = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
-    terms = (values.astype(_U64) + _K) * _pow_mod64(_P, pos)
+    maxlen = int(lengths.max())
+    table = np.empty(maxlen, dtype=_U64)
+    table[0] = 1
+    if maxlen > 1:
+        np.cumprod(np.full(maxlen - 1, _P, dtype=_U64), out=table[1:])
+    terms = (values.astype(_U64) + _K) * table[pos]
     out = np.zeros(n, dtype=_U64)
     seg_sums = np.add.reduceat(terms, offsets[:-1][lengths > 0])
     out[lengths > 0] = seg_sums
