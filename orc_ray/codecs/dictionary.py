@@ -67,6 +67,37 @@ def strings_from_blob(blob: bytes, lengths: np.ndarray) -> pa.Array:
     )
 
 
+def string_hashes64(arr: pa.Array) -> np.ndarray:
+    """64-bit per-value polynomial hashes of a string column (vectorized
+    from the offsets/data buffers) — feeds cardinality sketches."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    blob, lengths = string_blob(arr)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    n = len(lengths)
+    if len(data) == 0:
+        return np.zeros(n, dtype=np.uint64)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=off[1:])
+    pos = np.arange(len(data), dtype=np.int64) - np.repeat(off[:-1], lengths)
+    maxlen = int(lengths.max()) if n else 1
+    P = np.uint64(0x100000001B3)
+    table = np.empty(max(maxlen, 1), dtype=np.uint64)
+    table[0] = 1
+    if maxlen > 1:
+        np.cumprod(np.full(maxlen - 1, P, dtype=np.uint64), out=table[1:])
+    terms = (data.astype(np.uint64) + np.uint64(0x9E3779B9)) * table[pos]
+    out = np.full(n, np.uint64(0xCBF29CE484222325), dtype=np.uint64)
+    nz = lengths > 0
+    if nz.any():
+        out[nz] += np.add.reduceat(terms, off[:-1][nz])
+    # final avalanche (splitmix-style)
+    out ^= out >> np.uint64(30)
+    out *= np.uint64(0xBF58476D1CE4E5B9)
+    out ^= out >> np.uint64(27)
+    return out
+
+
 def dictionary_decode(indexes: np.ndarray, blob: bytes, lengths: np.ndarray) -> pa.Array:
     """Rebuild the column as an Arrow DictionaryArray (no value
     materialization; downstream casts to plain string only if asked)."""

@@ -97,14 +97,65 @@ def choose_int_codec(
     return best or candidates[0]
 
 
+class CardinalitySketch:
+    """Small HyperLogLog (2^p registers) over 64-bit value hashes — the
+    selector's running distinct-count estimate per (source, column), kept
+    across batches by the encoder actors (the "cardinality sketches" of the
+    stateful stage T4). Vectorized add; standard bias-corrected estimate."""
+
+    def __init__(self, p: int = 10):
+        self.p = p
+        self.m = 1 << p
+        self.regs = np.zeros(self.m, dtype=np.uint8)
+        self.n_seen = 0
+
+    def add_hashes(self, h: np.ndarray) -> None:
+        if not len(h):
+            return
+        h = np.ascontiguousarray(h, dtype=np.uint64)
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | np.uint64(1 << (self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        from .codecs.bitpack import bit_length_u64
+
+        rank = (65 - bit_length_u64(rest)).astype(np.uint8)
+        np.maximum.at(self.regs, idx, rank)
+        self.n_seen += len(h)
+
+    def estimate(self) -> float:
+        m = float(self.m)
+        inv = np.power(2.0, -self.regs.astype(np.float64))
+        raw = 0.7213 / (1 + 1.079 / m) * m * m / inv.sum()
+        zeros = int((self.regs == 0).sum())
+        if raw <= 2.5 * m and zeros:
+            return m * np.log(m / zeros)  # linear counting for small n
+        return float(raw)
+
+
 class SelectorState:
     """Warm-start cache for a stateful encoder actor: remembers the winning
-    codec per (group, stream) and only re-measures every Nth chunk."""
+    codec per (group, stream), keeps HLL cardinality sketches per string
+    column, and only re-measures every Nth chunk."""
 
     def __init__(self, config: EncoderConfig):
         self.config = config
         self._choice: dict[tuple[str, str], str] = {}
         self._count: dict[tuple[str, str], int] = {}
+        self.sketches: dict[tuple[str, str], CardinalitySketch] = {}
+
+    def observe_strings(self, group: str, column: str, hashes: np.ndarray) -> None:
+        key = (group, column)
+        sk = self.sketches.get(key)
+        if sk is None:
+            sk = self.sketches[key] = CardinalitySketch()
+        sk.add_hashes(hashes)
+
+    def sketch_summary(self) -> dict:
+        return {
+            f"{g}/{c}": {"distinct_est": round(sk.estimate(), 1),
+                         "values_seen": sk.n_seen}
+            for (g, c), sk in self.sketches.items()
+        }
 
     def choose_int(
         self,

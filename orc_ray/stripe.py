@@ -320,6 +320,11 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
         arr = arr.drop_null()
     n = len(arr)
     distinct = int(pc.count_distinct(arr).as_py()) if n else 0
+    if selector is not None and n and not is_binary:
+        # feed the actor's per-(source, column) cardinality sketch (T4)
+        from .codecs.dictionary import string_hashes64
+
+        selector.observe_strings(group, name, string_hashes64(arr))
     use_dict = (not is_binary) and n > 0 and distinct / n <= config.dict_threshold
     if use_dict:
         indexes, dict_blob, dict_lengths = dictionary_encode(arr)

@@ -170,3 +170,38 @@ def test_fsst_empty_table_passthrough():
     out_blob, out_lens = fsst.decompress(comp, comp_lens)
     assert out_blob == b"abc"
     np.testing.assert_array_equal(out_lens, [2, 1])
+
+
+# --- cardinality sketch ----------------------------------------------------
+
+def test_cardinality_sketch_accuracy():
+    import pyarrow as pa
+
+    from orc_ray.codecs.dictionary import string_hashes64
+    from orc_ray.selector import CardinalitySketch
+
+    for true_n in (5, 100, 3000, 40000):
+        sk = CardinalitySketch()
+        vals = [f"value-{i % true_n:08d}" for i in range(true_n * 2)]
+        # feed in two batches (cross-batch merge is the point)
+        for half in (vals[: true_n], vals[true_n:]):
+            sk.add_hashes(string_hashes64(pa.array(half)))
+        est = sk.estimate()
+        assert abs(est - true_n) / true_n < 0.15, (true_n, est)
+
+
+def test_sketch_in_selector_state():
+    import pyarrow as pa
+
+    from orc_ray.config import EncoderConfig
+    from orc_ray.selector import SelectorState
+    from orc_ray.stripe import encode_table
+
+    sel = SelectorState(EncoderConfig())
+    t = pa.table({"s": pa.array([f"v{i % 50}" for i in range(2000)])})
+    for _ in range(3):
+        encode_table(t, EncoderConfig(), selector=sel, group="web")
+    summary = sel.sketch_summary()
+    assert "web/s" in summary
+    assert abs(summary["web/s"]["distinct_est"] - 50) < 10
+    assert summary["web/s"]["values_seen"] == 6000
