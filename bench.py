@@ -160,7 +160,7 @@ def main() -> None:
     ap.add_argument("--cpus", type=int, default=DEFAULT_CPUS)
     ap.add_argument("--scaling", action="store_true",
                     help="run encode at two cpu counts in fresh processes")
-    ap.add_argument("--scaling-cpus", default="4,16",
+    ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N cpu pair for --scaling")
     ap.add_argument("--phases", default="encode,decode,reference,queries")
     ap.add_argument("--json-out", default="")
