@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
         "simhash_pairs": x.q_simhash,
         "embedding_neardup": x.q_embedding_neardup,
+        "window_agg": x.q_window_agg,
         # similarity search
         "ann_topk": x.q_ann_topk,
         "ann_ivf": x.q_ann_ivf,
@@ -78,6 +79,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
         "ann_topk": x.SQL_Q_ANN_TOPK,
+        "window_agg": x.SQL_Q_WINDOW_AGG,
         # langid / simhash_pairs / ann_ivf / media_decode: heuristic or
         # approximate -> rows-only checks (asserted in pytest instead)
     }

@@ -147,7 +147,7 @@ def _encode_var_ragged(
     total = int(lengths.sum())
     off = np.zeros(k + 1, dtype=np.int64)
     np.cumsum(lengths, out=off[1:])
-    seg_of = np.repeat(np.arange(k), lengths)
+    seg_of = np.repeat(np.arange(k, dtype=np.int32), lengths)
     if total == len(v):
         V = v  # scopes tile the whole array: no gather needed
     else:
@@ -160,9 +160,12 @@ def _encode_var_ragged(
 
     # per-scope percentile widths from ragged histograms; width code found
     # by one searchsorted against the 32 encodable-width upper bounds
-    # (findClosestNumBits + encodeBitWidth fused, no float temps)
-    codes = np.searchsorted(_WIDTH_UPPER32 if narrow else _WIDTH_UPPER, ZZ, side="left")
-    hist = np.bincount(seg_of * 32 + codes, minlength=k * 32).reshape(k, 32)
+    # (findClosestNumBits + encodeBitWidth fused, no float temps); key math
+    # kept in int32 to halve the traffic of these full-length temporaries
+    codes = np.searchsorted(
+        _WIDTH_UPPER32 if narrow else _WIDTH_UPPER, ZZ, side="left"
+    ).astype(np.int32, copy=False)
+    hist = np.bincount(seg_of * np.int32(32) + codes, minlength=k * 32).reshape(k, 32)
     zz100 = _pct_from_hist_ragged(hist, lengths, 1.0)
     zz90 = _pct_from_hist_ragged(hist, lengths, 0.9)
 

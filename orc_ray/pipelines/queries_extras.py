@@ -202,3 +202,52 @@ def q_media_decode(sf_dir: str):
     media = multimodal.synthesize_media(64, seed=42)
     ds = ray.data.from_arrow(media)
     return multimodal.decode_media_dataset(ds)
+
+
+# --- windowed aggregate ----------------------------------------------------
+
+def q_window_agg(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream: the
+    scalable pattern is partial aggregation per batch (combiner) then a tiny
+    final merge — no raw-event shuffle. Sums are over per-row-rounded
+    integer values so the mirror is bit-exact."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        hour = pc.floor_temporal(b.column("ts"), unit="hour")
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0)),
+                        pa.int64())
+        t = pa.table({
+            "user_id": b.column("user_id"),
+            "window_start": hour,
+            "v1000": v1000,
+        })
+        return t.group_by(["user_id", "window_start"]).aggregate(
+            [("v1000", "count"), ("v1000", "sum")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(parts)
+    agg = merged.group_by(["user_id", "window_start"]).aggregate(
+        [("v1000_count", "sum"), ("v1000_sum", "sum")]
+    )
+    return pa.table({
+        "user_id": agg.column("user_id").cast(pa.int64()),
+        "window_start": agg.column("window_start"),
+        "n_events": agg.column("v1000_count_sum").cast(pa.int64()),
+        "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
+    }).sort_by([("user_id", "ascending"), ("window_start", "ascending")])
+
+
+SQL_Q_WINDOW_AGG = (
+    "SELECT user_id, date_trunc('hour', ts) AS window_start, "
+    "count(*) AS n_events, "
+    "CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS sum_value_x1000 "
+    "FROM events GROUP BY user_id, date_trunc('hour', ts) "
+    "ORDER BY user_id, window_start"
+)
