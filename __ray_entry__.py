@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": x.q_simhash,
         "embedding_neardup": x.q_embedding_neardup,
         "window_agg": x.q_window_agg,
+        "asof_lag": x.q_asof_lag,
         # similarity search
         "ann_topk": x.q_ann_topk,
         "ann_ivf": x.q_ann_ivf,
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
         "ann_topk": x.SQL_Q_ANN_TOPK,
         "window_agg": x.SQL_Q_WINDOW_AGG,
+        "asof_lag": x.SQL_Q_ASOF_LAG,
         # langid / simhash_pairs / ann_ivf / media_decode: heuristic or
         # approximate -> rows-only checks (asserted in pytest instead)
     }

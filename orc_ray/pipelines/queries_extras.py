@@ -251,3 +251,38 @@ SQL_Q_WINDOW_AGG = (
     "FROM events GROUP BY user_id, date_trunc('hour', ts) "
     "ORDER BY user_id, window_start"
 )
+
+
+# --- as-of (lag) join ------------------------------------------------------
+
+def q_asof_lag(sf_dir: str):
+    """Per-user as-of self-join: each event paired with the most recent
+    prior event of the same user. Hash-partition on user_id (the one wide
+    shuffle), sort within partition, vectorized lag — the canonical
+    composition for as-of/range joins that Ray Data lacks natively."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+
+    def lag_group(g: pa.Table) -> pa.Table:
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts))  # ORDER BY ts, event_id
+        sorted_ev = ev[order]
+        prev = np.empty(len(ev), dtype=object)
+        prev[0] = None
+        prev[1:] = sorted_ev[:-1]
+        return pa.table({
+            "event_id": pa.array(sorted_ev, type=pa.int64()),
+            "prev_event_id": pa.array(prev.tolist(), type=pa.int64()),
+        })
+
+    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+
+
+SQL_Q_ASOF_LAG = (
+    "SELECT event_id, lag(event_id) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id "
+    "FROM events"
+)
