@@ -186,7 +186,10 @@ def encode_job(
     todo = [s.to_dict() for s in specs if s.pid not in done]
     result = {"planned_partitions": len(specs), "skipped": len(specs) - len(todo)}
     if todo:
-        ds = ray.data.from_items(todo)
+        # one block per partition spec => one task per partition (clean retry
+        # granularity + even load balance; from_items would otherwise pack
+        # multiple specs per block and batch_size=1 cannot re-split them)
+        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         if concurrency is None:
             # from_items has no upstream task operators to starve, so the
             # pool may take every CPU (unlike streaming map_batches chains)

@@ -173,3 +173,18 @@ class SelectorState:
         choice = choose_int_codec(values, signed, self.config, candidates)
         self._choice[key] = choice
         return choice
+
+    def fsst_table(self, group: str, column: str, train_fn):
+        """Reuse a trained FSST symbol table across chunks of the same
+        (source, column); retrain every Nth chunk. The table is serialized
+        into every stream, so blobs stay self-contained and a retrained
+        table never invalidates previously committed stripes."""
+        key = (group, f"fsst:{column}")
+        cnt = self._count.get(key, 0)
+        self._count[key] = cnt + 1
+        cached = self._choice.get(key)
+        if cached is not None and cnt % self.config.selector_recheck_every != 0:
+            return cached
+        table = train_fn()
+        self._choice[key] = table
+        return table

@@ -125,11 +125,15 @@ def _stream_bytes(blob: bytes, rec: dict, outer: str) -> bytes:
 # ---------------------------------------------------------------------------
 
 def _encode_blob(
-    blob: bytes, lengths: np.ndarray, config: EncoderConfig
+    blob: bytes, lengths: np.ndarray, config: EncoderConfig,
+    selector: SelectorState | None = None, group: str = "", column: str = "",
 ) -> tuple[str, bytes, np.ndarray]:
     """Choose fsst/zlib/none for a string byte payload by measured size.
     Returns (codec, payload, lengths_for_stream) — with FSST the LENGTH
-    stream carries compressed lengths."""
+    stream carries compressed lengths. When a selector actor is present the
+    trained FSST symbol table is reused across chunks of the same
+    (source, column) and retrained every Nth chunk (tables are serialized
+    into each stream, so blobs stay self-contained)."""
     candidates = config.string_blob_candidates
     if len(blob) == 0:
         return "none", blob, lengths
@@ -145,7 +149,15 @@ def _encode_blob(
             if len(z) < best[3]:
                 best = ("zlib", z, lengths, len(z))
         elif cand == "fsst":
-            comp, comp_lens = fsst.compress_auto(arr, offsets, config.fsst_iterations)
+            if selector is not None:
+                table = selector.fsst_table(
+                    group, column,
+                    lambda: fsst.train(arr, offsets, config.fsst_iterations),
+                )
+                comp, comp_lens = fsst.compress(table, arr, offsets)
+            else:
+                comp, comp_lens = fsst.compress_auto(arr, offsets,
+                                                     config.fsst_iterations)
             if len(comp) < best[3]:
                 best = ("fsst", comp, comp_lens, len(comp))
     return best[0], best[1], best[2]
@@ -332,14 +344,16 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
                                 config, ("rle2", "for"))
         w.add(name, "DATA", idx_codec, encode_int_stream(indexes, idx_codec, False),
               signed=False)
-        blob_codec, payload, lens = _encode_blob(dict_blob, dict_lengths, config)
+        blob_codec, payload, lens = _encode_blob(dict_blob, dict_lengths, config,
+                                                 selector, group, f"{name}:DICT")
         w.add(name, "DICT_DATA", blob_codec, payload, dict_size=len(dict_lengths))
         w.add(name, "LENGTH", "rle2", encode_int_stream(lens, "rle2", False),
               signed=False)
         meta["encoding"] = "dict"
     else:
         blob, lengths = string_blob(arr)
-        blob_codec, payload, lens = _encode_blob(blob, lengths, config)
+        blob_codec, payload, lens = _encode_blob(blob, lengths, config,
+                                                 selector, group, name)
         w.add(name, "DATA", blob_codec, payload)
         len_codec = _select_int(selector, group, f"{name}:LENGTH", lens, False,
                                 config, ("rle2", "for"))
