@@ -133,38 +133,88 @@ class IVFIndex:
         return np.argmax(_unit(emb) @ self.centroids.T, axis=1)
 
 
+class IVFPartialTopK:
+    """Actor stage for the distributed IVF search: centroids + per-query
+    probe sets broadcast once (__init__), every batch assigns its vectors
+    to buckets and scores ONLY the rows inside each query's probed buckets —
+    the data-skipping that makes IVF the scale path."""
+
+    def __init__(self, state_ref, k: int):
+        import ray
+
+        self.q_ids, self.q_unit, self.centroids, self.probe = ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb, ids = _emb_matrix(batch)
+        unit = _unit(emb)
+        assign = np.argmax(unit @ self.centroids.T, axis=1)
+        rows_q, rows_n, rows_s = [], [], []
+        for qi in range(len(self.q_ids)):
+            m = np.isin(assign, self.probe[qi])
+            if not m.any():
+                continue
+            cand_ids = ids[m]
+            sims = self.q_unit[qi] @ unit[m].T
+            kk = min(self.k, len(cand_ids))
+            part = np.argpartition(-sims, kk - 1)[:kk] if len(sims) > kk else \
+                np.arange(len(sims))
+            rows_q.extend([int(self.q_ids[qi])] * len(part))
+            rows_n.extend(cand_ids[part].tolist())
+            rows_s.extend(sims[part].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "vec_id": pa.array(rows_n, type=pa.int64()),
+            "cosine": pa.array(rows_s, type=pa.float64()),
+        })
+
+
 def ivf_topk(ds, query_table: pa.Table, k: int = 10, ncentroids: int = 16,
              nprobe: int = 4) -> pa.Table:
-    """Approximate top-k: bucket by centroid, search only probed buckets.
-    In-sandbox the bucketed index is collected to the driver (small); at
-    scale buckets are parquet partitions keyed by centroid id and only
-    probed partitions are read."""
-    batches = ds.take_all()
-    table = pa.Table.from_pylist(batches)
-    emb, ids = _emb_matrix(table)
+    """Approximate top-k, distributed: a kmeans-lite coarse quantizer is
+    trained on a sample (driver, tiny), centroids + probe sets broadcast
+    via ray.put, and every batch scores only the rows falling in probed
+    buckets (IVFPartialTopK map_batches); partial top-ks merge on the
+    driver (k x queries rows — metadata-sized). The full embedding table is
+    never materialized."""
+    import ray
+
+    from ..pipelines.encode import _default_concurrency
+
+    sample = pa.Table.from_pylist(ds.limit(4096).take_all())
+    s_emb, _ = _emb_matrix(sample)
     index = IVFIndex(ncentroids=ncentroids)
-    index.train(emb[: min(len(emb), 4096)])
-    assign = index.assign(emb)
-    unit = _unit(emb)
+    index.train(s_emb)
 
     q_emb, q_ids = _emb_matrix(query_table)
     q_unit = _unit(q_emb)
     probe = np.argsort(-(q_unit @ index.centroids.T), axis=1)[:, :nprobe]
+    state_ref = ray.put((q_ids, q_unit, index.centroids, probe))
+
+    parts = ds.map_batches(
+        IVFPartialTopK,
+        fn_constructor_kwargs={"state_ref": state_ref, "k": k + 1},
+        batch_format="pyarrow",
+        concurrency=min(4, _default_concurrency()),
+        num_cpus=1,
+    ).take_all()
+
     rows = []
-    for qi in range(len(q_ids)):
-        m = np.isin(assign, probe[qi])
-        cand_ids = ids[m]
-        sims = q_unit[qi] @ unit[m].T
-        keep = cand_ids != q_ids[qi]
-        cand_ids, sims = cand_ids[keep], sims[keep]
-        order = np.lexsort((cand_ids, -sims))[:k]
-        for rank, idx in enumerate(order, 1):
-            rows.append({
-                "query_id": int(q_ids[qi]),
-                "vec_id": int(cand_ids[idx]),
-                "rank": rank,
-                "cosine_x1e4": int(np.floor(sims[idx] * 1e4 + 0.5)),
-            })
+    if parts:
+        t = pa.Table.from_pylist(parts)
+        qs = t.column("query_id").to_numpy(zero_copy_only=False)
+        vs = t.column("vec_id").to_numpy(zero_copy_only=False)
+        cs = t.column("cosine").to_numpy(zero_copy_only=False)
+        for q in np.unique(qs):
+            m = (qs == q) & (vs != q)
+            order = np.lexsort((vs[m], -cs[m]))[:k]
+            for rank, idx in enumerate(order, 1):
+                rows.append({
+                    "query_id": int(q),
+                    "vec_id": int(vs[m][idx]),
+                    "rank": rank,
+                    "cosine_x1e4": int(np.floor(cs[m][idx] * 1e4 + 0.5)),
+                })
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("query_id", pa.int64()), ("vec_id", pa.int64()),
         ("rank", pa.int64()), ("cosine_x1e4", pa.int64()),
