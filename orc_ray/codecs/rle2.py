@@ -211,30 +211,24 @@ def _encode_var_ragged(
 
     pieces: list[bytes | None] = [None] * k
 
-    # DIRECT scopes: group-pack per aligned width when per-scope bit counts
-    # are byte-aligned (widths that are multiples of 8; or all lengths even
-    # enough). Others fall through to per-scope packing.
+    # DIRECT scopes: group-pack per aligned width. Scopes whose bit count
+    # isn't byte-aligned get zero padding values appended (identical bytes
+    # to per-scope packing, which zero-pads the final byte).
     direct_idx = np.flatnonzero(direct)
     if len(direct_idx):
         fbs = _CLOSEST_ALIGNED_ARR[zz100[direct_idx]]
         for fb in np.unique(fbs):
             fb = int(fb)
             rows = direct_idx[fbs == fb]
-            if fb % 8 == 0 and len(rows) > 1:
-                sel = np.zeros(total, dtype=bool)
-                for r in rows:  # mark scope ranges (few ops per scope)
-                    sel[off[r]: off[r + 1]] = True
-                packed = pack_bits(ZZ[sel], fb)
-                per = (lengths[rows] * fb // 8)
-                boundaries = np.zeros(len(rows) + 1, dtype=np.int64)
-                np.cumsum(per, out=boundaries[1:])
+            if len(rows) > 1:
+                packed, byte_off = _group_pack(ZZ, off[rows], lengths[rows], fb)
                 for j, r in enumerate(rows):
                     run = int(lengths[r]) - 1
                     header = bytes([
                         (DIRECT << 6) | (encode_bit_width(fb) << 1) | ((run & 0x100) >> 8),
                         run & 0xFF,
                     ])
-                    pieces[r] = header + packed[boundaries[j]: boundaries[j + 1]]
+                    pieces[r] = header + packed[byte_off[j]: byte_off[j + 1]]
             else:
                 for r in rows:
                     run = int(lengths[r]) - 1
@@ -244,7 +238,38 @@ def _encode_var_ragged(
                     ])
                     pieces[r] = header + pack_bits(ZZ[off[r]: off[r + 1]], fb)
 
+    # DELTA-var scopes (monotonic): group the abs-delta tails by width too
+    mono_emit = np.flatnonzero(~direct & safe & ~const & ~is_fixed & mono)
+    if len(mono_emit) > 3:
+        absD = np.abs(D)
+        tail_starts = off[mono_emit] + 2
+        tail_lens = lengths[mono_emit] - 2
+        tail_max = _ragged_max(absD, tail_starts, tail_lens)
+        dmax = np.maximum(initial[mono_emit].astype(_I64), tail_max.astype(_I64))
+        codes_d = np.searchsorted(_WIDTH_UPPER, dmax.view(_U64))
+        fbs_d = _CLOSEST_ALIGNED_ARR[_DECODE_BW_ARR[codes_d]]
+        fbs_d = np.where(fbs_d == 1, 2, fbs_d)
+        for fb in np.unique(fbs_d):
+            fb = int(fb)
+            rows = mono_emit[fbs_d == fb]
+            packed, byte_off = _group_pack(absD, tail_starts[fbs_d == fb],
+                                           tail_lens[fbs_d == fb], fb)
+            for j, r in enumerate(rows):
+                out = bytearray()
+                run = int(lengths[r]) - 1
+                out.append((DELTA << 6) | (encode_bit_width(fb) << 1) | ((run & 0x100) >> 8))
+                out.append(run & 0xFF)
+                if signed:
+                    write_vslong(out, int(V[off[r]]))
+                else:
+                    write_vulong(out, int(V[off[r]]))
+                write_vslong(out, int(initial[r]))
+                out.extend(packed[byte_off[j]: byte_off[j + 1]])
+                pieces[r] = bytes(out)
+
     for r in np.flatnonzero(~direct):
+        if pieces[r] is not None:
+            continue
         out = bytearray()
         seg = V[off[r]: off[r + 1]]
         if narrow:
@@ -273,6 +298,44 @@ def _encode_var_ragged(
             _emit_direct(out, ZZ[off[r]: off[r + 1]], int(zz100[r]))
         pieces[r] = bytes(out)
     return pieces  # type: ignore[return-value]
+
+
+def _group_pack(values: np.ndarray, starts: np.ndarray, lens: np.ndarray,
+                fb: int) -> tuple[bytes, np.ndarray]:
+    """Pack many ragged scopes at the same width in ONE pack_bits call.
+    Scopes are zero-padded to byte boundaries (bit-identical to per-scope
+    packing, whose final byte is zero-padded). Returns (packed bytes,
+    per-scope byte offsets)."""
+    k = len(starts)
+    pads = ((-(lens * fb)) % 8) // fb
+    pl = lens + pads
+    doff = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(pl, out=doff[1:])
+    soff = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lens, out=soff[1:])
+    stotal = int(soff[-1])
+    out = np.zeros(int(doff[-1]), dtype=values.dtype)
+    pos = np.arange(stotal, dtype=np.int64) - np.repeat(soff[:-1], lens)
+    src = np.repeat(starts, lens) + pos
+    dst = np.repeat(doff[:-1], lens) + pos
+    out[dst] = values[src]
+    if out.dtype == np.int32:
+        out = out.view(np.uint32)
+    packed = pack_bits(out, fb)
+    return packed, doff * fb // 8
+
+
+def _ragged_max(values: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Per-scope max over non-contiguous ranges via paired reduceat."""
+    k = len(starts)
+    idx = np.empty(2 * k, dtype=np.int64)
+    idx[0::2] = starts
+    idx[1::2] = starts + lens
+    if idx[-1] >= len(values):
+        res = np.maximum.reduceat(values, idx[:-1])
+    else:
+        res = np.maximum.reduceat(values, idx)
+    return res[0::2]
 
 
 def _pct_from_hist_ragged(hist: np.ndarray, lengths: np.ndarray, p: float) -> np.ndarray:
