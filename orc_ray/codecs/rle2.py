@@ -585,9 +585,12 @@ def _is_safe_subtract(left: int, right: int) -> bool:
 # decode
 # ---------------------------------------------------------------------------
 
-def decode(buf: bytes, signed: bool, n: int | None = None) -> np.ndarray:
-    """Decode an RLEv2 byte stream to an int64 array. Stops after ``n``
-    values when given, else consumes the whole buffer.
+def decode(buf: bytes, signed: bool, n: int | None = None,
+           out_dtype=np.int64) -> np.ndarray:
+    """Decode an RLEv2 byte stream to an integer array (``out_dtype`` may be
+    int32 when the caller knows values fit — halves the output traffic for
+    token streams). Stops after ``n`` values when given, else consumes the
+    whole buffer.
 
     Two passes: a cheap header scan collects every run's (tag, position,
     count), then DIRECT runs are unpacked in groups of equal (width, count)
@@ -639,7 +642,7 @@ def decode(buf: bytes, signed: bool, n: int | None = None) -> np.ndarray:
             pos = p
         total += counts[-1]
 
-    out = np.empty(total, dtype=_I64)
+    out = np.empty(total, dtype=out_dtype)
     starts = np.zeros(len(counts) + 1, dtype=np.int64)
     np.cumsum(counts, out=starts[1:])
 

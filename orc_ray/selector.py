@@ -63,9 +63,10 @@ def encode_int_stream(values: np.ndarray, codec: str, signed: bool) -> bytes:
     raise ValueError(f"unknown int codec {codec!r}")
 
 
-def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int) -> np.ndarray:
+def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int,
+                      out_dtype=np.int64) -> np.ndarray:
     if codec == "rle2":
-        return rle2.decode(buf, signed, n)
+        return rle2.decode(buf, signed, n, out_dtype=out_dtype)
     if codec == "rle2_delta":
         return np.cumsum(rle2.decode(buf, True, n), dtype=np.int64)
     if codec == "for":

@@ -522,8 +522,12 @@ def _decode_column(blob, cm, t, streams, outer, n_rows) -> pa.Array:
         lens = decode_int_stream(_stream_bytes(blob, len_rec, outer), len_rec["codec"], False, n_vals)
         data_rec = _rec(streams, name, "DATA")
         total = int(lens.sum())
+        child_np = np.dtype(t.value_type.to_pandas_dtype()) \
+            if pa.types.is_integer(t.value_type) else np.int64
+        out_dtype = np.int32 if (child_np == np.int32 and data_rec["codec"] == "rle2") else np.int64
         vals = decode_int_stream(_stream_bytes(blob, data_rec, outer), data_rec["codec"],
-                                 data_rec.get("signed", True), total)
+                                 data_rec.get("signed", True), total,
+                                 out_dtype=out_dtype)
         child_type = t.value_type
         child = _int_array(vals, child_type, None, total)
         if pa.types.is_large_list(t):
