@@ -32,6 +32,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
+# bench I/O lives on tmpfs: /tmp here is a ~100MB/s virtio disk that floors
+# the 32-way wall clock; fall back to it only if /dev/shm is missing
+BENCH_BASE = "/dev/shm/orc_ray_bench" if os.path.isdir("/dev/shm") \
+    else "/tmp/orc_ray_bench"
+
 # rows of the synthetic table per sf tier (~300 tokens/row mean). sf0.1 is
 # sized so per-core work amortizes fixed costs (plan + actor-pool startup)
 # and the 8-vs-32-cpu scaling measurement reflects the compute, not setup.
@@ -48,7 +53,7 @@ def bench_input(sf_dir: str) -> tuple[list[str], str]:
 
     name = sf_name(sf_dir)
     rows = ROWS_BY_SF.get(name, 30_000)
-    d = f"/dev/shm/orc_ray_bench/{name}/input"
+    d = f"{BENCH_BASE}/{name}/input"
     marker = os.path.join(d, f".complete-{rows}")
     if not os.path.exists(marker):
         import shutil
@@ -76,7 +81,7 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
 
     paths, name = bench_input(sf_dir)
     out: dict = {"sf": name, "num_cpus": num_cpus, "queries": {}}
-    enc_dir = f"/dev/shm/orc_ray_bench/{name}/encoded-{num_cpus}"
+    enc_dir = f"{BENCH_BASE}/{name}/encoded-{num_cpus}"
     import shutil
 
     # steady-state methodology: a tiny warm-up job first so worker-process
@@ -84,12 +89,12 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
     # (a one-time per-node cost that amortizes to zero at 100 TB scale)
     from orc_ray.sources.tokens import write_synthetic_shards
 
-    wdir = f"/dev/shm/orc_ray_bench/{name}/warm_in"
+    wdir = f"{BENCH_BASE}/{name}/warm_in"
     if not os.path.isdir(wdir):
         write_synthetic_shards(wdir, num_rows=3000, num_shards=8, seed=9)
     wpaths = sorted(os.path.join(wdir, f) for f in os.listdir(wdir)
                     if f.endswith(".parquet"))
-    wout = f"/dev/shm/orc_ray_bench/{name}/warm_out-{num_cpus}"
+    wout = f"{BENCH_BASE}/{name}/warm_out-{num_cpus}"
     shutil.rmtree(wout, ignore_errors=True)
     encode_job(wpaths, wout, EncoderConfig(stripe_target_tokens=2_000_000))
     shutil.rmtree(wout, ignore_errors=True)
@@ -120,7 +125,7 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
         # reference algorithm stack: RLEv2 ints, dict/direct strings,
         # chunked zlib over streams — no FSST, no FOR (scritchley/orc's
         # exact codec set; our RLEv2 kernels are byte-identical to it)
-        ref_dir = f"/dev/shm/orc_ray_bench/{name}/encoded-ref-{num_cpus}"
+        ref_dir = f"{BENCH_BASE}/{name}/encoded-ref-{num_cpus}"
         if os.path.isdir(ref_dir):
             shutil.rmtree(ref_dir)
         ref_cfg = EncoderConfig(
@@ -170,7 +175,7 @@ def main() -> None:
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
         results = {}
         for cpus in (lo, hi):
-            tmp = f"/dev/shm/orc_ray_bench/scaling-{cpus}.json"
+            tmp = f"{BENCH_BASE}/scaling-{cpus}.json"
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
