@@ -133,6 +133,7 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
             int_candidates=("rle2",),
             string_blob_candidates=("none",),
             outer_compression="zlib",
+            zlib_level=6,  # the reference's flate default
         )
         t0 = time.perf_counter()
         ref_summary = encode_job(paths, ref_dir, ref_cfg)
