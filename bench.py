@@ -47,12 +47,12 @@ def sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
-def bench_input(sf_dir: str) -> tuple[list[str], str]:
+def bench_input(sf_dir: str, rows_override: int | None = None) -> tuple[list[str], str]:
     """Materialize (once) the deterministic synthetic shards for this sf."""
     from orc_ray.sources.tokens import write_synthetic_shards
 
     name = sf_name(sf_dir)
-    rows = ROWS_BY_SF.get(name, 30_000)
+    rows = rows_override or ROWS_BY_SF.get(name, 30_000)
     d = f"{BENCH_BASE}/{name}/input"
     marker = os.path.join(d, f".complete-{rows}")
     if not os.path.exists(marker):
@@ -69,7 +69,8 @@ def bench_input(sf_dir: str) -> tuple[list[str], str]:
     return paths, name
 
 
-def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "reference")) -> dict:
+def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "reference"),
+                 rows_override: int | None = None) -> dict:
     import ray
 
     from orc_ray.config import EncoderConfig
@@ -79,7 +80,7 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
     if not ray.is_initialized():
         ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
 
-    paths, name = bench_input(sf_dir)
+    paths, name = bench_input(sf_dir, rows_override)
     out: dict = {"sf": name, "num_cpus": num_cpus, "queries": {}}
     enc_dir = f"{BENCH_BASE}/{name}/encoded-{num_cpus}"
     import shutil
@@ -169,6 +170,10 @@ def main() -> None:
     ap.add_argument("--scaling-cpus", default="2,8",
                     help="N,4N cpu pair for --scaling")
     ap.add_argument("--phases", default="encode,decode,reference,queries")
+    ap.add_argument("--rows", type=int, default=0,
+                    help="override synthetic corpus rows")
+    ap.add_argument("--scaling-rows", type=int, default=0,
+                    help="optional corpus-rows override for --scaling")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -180,7 +185,8 @@ def main() -> None:
             env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
             subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
-                 "--cpus", str(cpus), "--phases", "encode", "--json-out", tmp],
+                 "--cpus", str(cpus), "--phases", "encode", "--json-out", tmp]
+                + (["--rows", str(args.scaling_rows)] if args.scaling_rows else []),
                 check=True, env=env, capture_output=True,
             )
             results[cpus] = json.load(open(tmp))
@@ -200,7 +206,8 @@ def main() -> None:
 
     phases = tuple(args.phases.split(","))
     out = run_headline(args.sf_dir, args.cpus,
-                       tuple(p for p in phases if p != "queries"))
+                       tuple(p for p in phases if p != "queries"),
+                       rows_override=args.rows or None)
     if "queries" in phases:
         run_oracle_queries(args.sf_dir, out)
 

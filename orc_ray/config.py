@@ -28,9 +28,10 @@ class EncoderConfig:
     # "auto" keeps zlib per stream only when it shrinks it (guarantees
     # <= the reference's always-zlib stack), "zlib" always, "none" never
     outer_compression: str = "auto"
-    # level 1 is ~20% faster end-to-end for <1% size on token data; the
-    # bench's reference-stack config pins level 6 (Go flate default)
-    zlib_level: int = 1
+    # 6 = the reference's flate default and the best size; level 1 trades
+    # <1% size for ~25% single-node throughput but makes the pipeline more
+    # memory-bound (worse multi-worker scaling on shared-bus hosts)
+    zlib_level: int = 6
     # selector sampling: streams larger than this are chosen on a sample
     selector_sample_values: int = 65_536
     # stateful selector re-evaluates a cached per-(source,stream) choice
