@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
         "simhash_pairs": x.q_simhash,
         "embedding_neardup": x.q_embedding_neardup,
+        "embedding_neardup_ivf": x.q_embedding_neardup_ivf,
         "window_agg": x.q_window_agg,
         "asof_lag": x.q_asof_lag,
         # similarity search
@@ -75,13 +76,15 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
+        "langid": x.SQL_Q_LANGID,
         "fingerprint": x.SQL_Q_FINGERPRINT,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
+        "simhash_pairs": x.SQL_Q_SIMHASH,
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
         "ann_topk": x.SQL_Q_ANN_TOPK,
         "window_agg": x.SQL_Q_WINDOW_AGG,
         "asof_lag": x.SQL_Q_ASOF_LAG,
-        # langid / simhash_pairs / ann_ivf / media_decode: heuristic or
-        # approximate -> rows-only checks (asserted in pytest instead)
+        # ann_ivf / embedding_neardup_ivf / media_decode: approximate or
+        # stubbed-codec ops -> rows-only checks (asserted in pytest instead)
     }

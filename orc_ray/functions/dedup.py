@@ -1,162 +1,279 @@
-"""Deduplication operators over the ``documents`` table.
+"""Deduplication operators over the ``documents`` table — all distributed,
+nothing text-amplified, no driver-side compute.
 
 - exact:      md5(text) key -> hash-partitioned group-by, keep min(doc_id)
-- minhash:    3-word shingles -> 128 minhashes -> 32 bands x 4 rows -> LSH
-              bucket groupby -> candidate pairs -> EXACT shingle-Jaccard
-              verification (so output equals the exact >=threshold pair set
-              with recall ~1-1e-7 at t=0.8)
-- simhash:    64-bit simhash of word hashes; near-dup = hamming distance <= k
-- ngram:      exact pairwise shingle-Jaccard (the verification kernel,
-              usable standalone at small scale / per-bucket at large scale)
-- embedding:  cosine >= threshold near-dup pairs over the embeddings table
-              (blocked matmul; the broadcast-small-side pattern)
+              (queries_extras.q_dedup_exact; only (md5, doc_id) shuffles)
+- minhash:    3-word shingles -> 128 minhashes -> 32 bands x 4 rows -> LSH.
+              The shuffle carries ONLY (doc_id, bucket) rows (16 bytes each
+              — never the text); candidate pairs are generated vectorized
+              inside a fixed number of hash partitions; pair dedup is a
+              distributed group-by; exact-Jaccard verification joins the
+              candidate pairs against the (doc_id, shingle-set) sketch
+              table with Ray Data's hash join. Output equals the exact
+              >= threshold pair set (band-miss probability < 1e-7 at 0.8).
+- simhash:    64-bit simhash over a SQL-mirrorable word hash
+              (texthash.word_hashes31 + mix64) -> 4x16-bit chunk banding
+              (exact for hamming <= 3 by pigeonhole) -> distributed pair
+              generation + dedup. Oracle-checkable (SQL_SIMHASH builder).
+- embedding:  cosine >= threshold near-dup pairs: exact all-pairs
+              distributed over block pairs (each task scores one block x
+              block tile; the quadratic work is inherent to the exact
+              operator), plus an IVF-bucketed approximate scale path.
 
-Scale notes: the only wide op is the LSH/bucket groupby on band keys
-(band buckets co-locate candidates — skewed giant buckets are capped).
-Minhashing itself is embarrassingly parallel map_batches; pair verification
-happens per bucket group. Exact dedup's group-by ships only (key, doc_id)
-pairs, never text.
+Scale notes: candidate/pair tables are metadata-sized; the only wide ops
+are the fixed-partition bucket groupbys and the sketch hash-join. Skewed
+buckets (giant runs of one band key) are processed vectorized, not
+row-looped, and capped only far above any real dup-cluster size.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
+
+from .texthash import (
+    mix64,
+    popcount64,
+    shingle_sets,
+    simhash_signatures,
+    sql_pows_cte,
+    sql_wordhash31,
+)
 
 NUM_HASHES = 128
 BANDS = 32
 ROWS_PER_BAND = NUM_HASHES // BANDS
 _MERSENNE = (1 << 61) - 1
-
-
-def _word_shingles(texts: pa.Array, k: int = 3) -> list[np.ndarray]:
-    """Per-doc arrays of 64-bit k-word-shingle hashes (vectorized across the
-    batch's concatenated words)."""
-    if isinstance(texts, pa.ChunkedArray):
-        texts = texts.combine_chunks()
-    out = []
-    for t in texts.to_pylist():
-        words = t.split(" ")
-        if len(words) < k:  # no k-shingles: doc never pairs (matches SQL)
-            out.append(np.empty(0, dtype=np.uint64))
-            continue
-        sh = np.array(
-            [hash_bytes(" ".join(words[i: i + k]).encode())
-             for i in range(len(words) - k + 1)],
-            dtype=np.uint64,
-        )
-        out.append(np.unique(sh))
-    return out
-
-
-def hash_bytes(b: bytes) -> int:
-    """Deterministic 64-bit FNV-1a (stable across processes, unlike
-    Python's salted hash())."""
-    h = 0xCBF29CE484222325
-    for byte in b:
-        h ^= byte
-        h = (h * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
-
+_U64 = np.uint64
+# fixed partition count for bucket-key shuffles: groups the (tiny) band
+# rows into a bounded number of map_groups calls, each processed vectorized
+N_PARTS = 64
+# skew guard: a band-bucket run larger than this is almost certainly a
+# degenerate constant column, not a dup cluster; far above test-scale sizes
+MAX_RUN = 4096
 
 _rng = np.random.default_rng(12345)
 _A = (_rng.integers(1, _MERSENNE, NUM_HASHES, dtype=np.int64)).astype(np.uint64)
 _B = (_rng.integers(0, _MERSENNE, NUM_HASHES, dtype=np.int64)).astype(np.uint64)
 
 
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    x ^= x >> _U64(30)
+    x *= _U64(0xBF58476D1CE4E5B9)
+    x ^= x >> _U64(27)
+    x *= _U64(0x94D049BB133111EB)
+    x ^= x >> _U64(31)
+    return x
+
+
+# --- stage 1: sketches (doc_id, shingle set) -------------------------------
+
+def shingle_sketch_batch(batch: pa.Table, k: int = 3) -> pa.Table:
+    """documents batch -> (doc_id, shingles:binary) — the per-doc
+    sorted-unique k-word-shingle hash set as raw uint64 little-endian
+    bytes (binary, because Arrow's hash join can carry binary payloads
+    but not list columns), fully vectorized."""
+    sv, off = shingle_sets(batch.column("text"), k=k)
+    byte_off = (off * 8).astype(np.int32)
+    shingles = pa.BinaryArray.from_buffers(
+        pa.binary(), len(off) - 1,
+        [None, pa.py_buffer(byte_off.tobytes()),
+         pa.py_buffer(np.ascontiguousarray(sv).tobytes())],
+    )
+    return pa.table({
+        "doc_id": batch.column("doc_id").cast(pa.int64()),
+        "shingles": shingles,
+    })
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """128 minhashes via (a*x+b) mod p permutations, vectorized."""
+    """128 minhashes via (a*x+b) mod p permutations (single doc; the
+    batched path is _signatures_from_sets)."""
     if not len(shingles):
-        return np.full(NUM_HASHES, np.uint64(_MERSENNE), dtype=np.uint64)
+        return np.full(NUM_HASHES, _U64(_MERSENNE), dtype=np.uint64)
     x = shingles[:, None].astype(np.uint64)
-    hv = (x * _A[None, :] + _B[None, :]) % np.uint64(_MERSENNE)
+    hv = (x * _A[None, :] + _B[None, :]) % _U64(_MERSENNE)
     return hv.min(axis=0)
 
 
-def minhash_batch(batch: pa.Table) -> pa.Table:
-    """documents batch -> one row per (doc, band): band key + signature."""
-    shingle_sets = _word_shingles(batch.column("text"))
-    doc_ids = batch.column("doc_id").cast(pa.int64()).to_pylist()
-    rows_doc, rows_band, rows_key, rows_nsh = [], [], [], []
-    for did, sh in zip(doc_ids, shingle_sets):
-        sig = minhash_signature(sh)
-        bands = sig.reshape(BANDS, ROWS_PER_BAND)
-        for b in range(BANDS):
-            key = hash_bytes(bytes([b]) + bands[b].tobytes())
-            rows_doc.append(did)
-            rows_band.append(b)
-            rows_key.append(key)
-            rows_nsh.append(len(sh))
+def _signatures_from_sets(sv: np.ndarray, off: np.ndarray) -> np.ndarray:
+    """(ndocs, 128) minhash matrix from flat shingle sets; inner-blocked so
+    the (shingles x 128) temporary stays ~64 MB."""
+    ndocs = len(off) - 1
+    sig = np.full((ndocs, NUM_HASHES), _U64(_MERSENNE), dtype=np.uint64)
+    if len(sv) == 0:
+        return sig
+    BLOCK = 65536
+    d = 0
+    while d < ndocs:
+        e = d
+        while e < ndocs and off[e + 1] - off[d] <= BLOCK:
+            e += 1
+        e = max(e, d + 1)  # a single huge doc still gets processed
+        seg = sv[off[d]: off[e]]
+        if len(seg):
+            hv = (seg[:, None].astype(np.uint64) * _A[None, :] + _B[None, :]) \
+                % _U64(_MERSENNE)
+            starts = (off[d: e] - off[d]).astype(np.int64)
+            nz = np.diff(off[d: e + 1]) > 0
+            if nz.any():
+                sig[d: e][nz] = np.minimum.reduceat(hv, starts[nz], axis=0)
+        d = e
+    return sig
+
+
+def band_rows_batch(batch: pa.Table, k: int = 3) -> pa.Table:
+    """documents batch -> LSH band rows (doc_id, bucket, part). 32 rows per
+    doc, 24 bytes each — the ONLY thing the LSH shuffle carries. Docs with
+    no shingles emit nothing (they can never pair, mirroring the oracle)."""
+    sv, off = shingle_sets(batch.column("text"), k=k)
+    doc_ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+        zero_copy_only=False)
+    sig = _signatures_from_sets(sv, off)
+    nonempty = np.diff(off) > 0
+    sig = sig[nonempty]
+    ids = doc_ids[nonempty]
+    n = len(ids)
+    if n == 0:
+        return pa.table({
+            "doc_id": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "part": pa.array([], type=pa.int64()),
+        })
+    bands = sig.reshape(n, BANDS, ROWS_PER_BAND)
+    P = _U64(0x100000001B3)
+    key = np.arange(BANDS, dtype=np.uint64)[None, :] + _U64(0x9E3779B9)
+    for r in range(ROWS_PER_BAND):
+        key = key * P + bands[:, :, r]
+    key = _splitmix(key)
     return pa.table({
-        "doc_id": pa.array(rows_doc, type=pa.int64()),
-        "band": pa.array(rows_band, type=pa.int64()),
-        "bucket": pa.array(rows_key, type=pa.uint64()),
-        "n_shingles": pa.array(rows_nsh, type=pa.int64()),
+        "doc_id": pa.array(np.repeat(ids, BANDS), type=pa.int64()),
+        "bucket": pa.array(key.reshape(-1).view(np.int64), type=pa.int64()),
+        "part": pa.array(
+            (key.reshape(-1) % _U64(N_PARTS)).astype(np.int64), type=pa.int64()),
     })
+
+
+# --- stage 2: candidate pairs per hash partition ---------------------------
+
+def _emit_run_pairs(ids: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All unordered pairs (a<b by doc_id) of one bucket run, vectorized."""
+    u = np.unique(ids)
+    m = len(u)
+    if m < 2:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ii, jj = np.triu_indices(m, k=1)
+    return u[ii], u[jj]
+
+
+def partition_candidates(group: pa.Table) -> pa.Table:
+    """One hash partition of band rows -> unique candidate (doc_a, doc_b)
+    pairs. Sort by bucket, find equal-key runs, emit pairs per run."""
+    b = group.column("bucket").to_numpy(zero_copy_only=False)
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    b = b[order]
+    d = d[order]
+    bounds = np.flatnonzero(np.diff(b)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(b)]])
+    aa, bb = [], []
+    for s, e in zip(starts, ends):
+        if e - s < 2 or e - s > MAX_RUN:
+            continue
+        pa_, pb_ = _emit_run_pairs(d[s:e])
+        if len(pa_):
+            aa.append(pa_)
+            bb.append(pb_)
+    if not aa:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64())})
+    a = np.concatenate(aa)
+    bcol = np.concatenate(bb)
+    # dedupe within the partition (same pair from several buckets)
+    key = np.stack([a, bcol], axis=1)
+    key = np.unique(key, axis=0)
+    return pa.table({"doc_a": pa.array(key[:, 0], type=pa.int64()),
+                     "doc_b": pa.array(key[:, 1], type=pa.int64())})
+
+
+def _first_row(group: pa.Table) -> pa.Table:
+    return group.slice(0, 1)
+
+
+# --- stage 3: exact-Jaccard verification (join against sketches) -----------
+
+def verify_pairs_batch(batch: pa.Table, threshold: float = 0.8) -> pa.Table:
+    """(doc_a, doc_b, sh_a, sh_b) rows -> verified pairs with exact
+    integer-math Jaccard (mirrors the SQL oracle)."""
+    thr_x1000 = int(round(threshold * 1000))
+    col_a = batch.column("sh_a")
+    col_b = batch.column("sh_b")
+    if isinstance(col_a, pa.ChunkedArray):
+        col_a = col_a.combine_chunks()
+    if isinstance(col_b, pa.ChunkedArray):
+        col_b = col_b.combine_chunks()
+    da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+    db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+    aa, bb, jj = [], [], []
+    for i in range(batch.num_rows):
+        sa = np.frombuffer(col_a[i].as_py(), dtype=np.uint64)
+        sb = np.frombuffer(col_b[i].as_py(), dtype=np.uint64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        if union and inter * 1000 >= thr_x1000 * union:
+            aa.append(int(da[i]))
+            bb.append(int(db[i]))
+            jj.append(inter * 1000 // union)
+    return _pairs_table(aa, bb, jj)
+
+
+def minhash_dedup_pairs(ds, threshold: float = 0.8,
+                        num_partitions: int | None = None):
+    """Scale-safe LSH near-dup pipeline (see module docstring). Returns a
+    Dataset of (doc_a, doc_b, jaccard_x1000), doc_a < doc_b, sorted."""
+    if num_partitions is None:
+        # each hash-join partition pins an aggregator actor; two joins run
+        # in the same streaming pipeline, so stay well under the CPU count
+        import ray
+
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 4))
+    sketches = ds.map_batches(shingle_sketch_batch, batch_format="pyarrow",
+                              batch_size=1024)
+    bands = ds.map_batches(band_rows_batch, batch_format="pyarrow",
+                           batch_size=1024)
+    cand = bands.groupby("part").map_groups(
+        partition_candidates, batch_format="pyarrow")
+    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
+        _first_row, batch_format="pyarrow")
+    j1 = cand.join(
+        sketches, "inner", num_partitions=num_partitions,
+        on=("doc_a",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.select(["doc_a", "doc_b", "shingles"]).rename_columns(
+            ["doc_a", "doc_b", "sh_a"]),
+        batch_format="pyarrow",
+    )
+    j2 = j1.join(
+        sketches, "inner", num_partitions=num_partitions,
+        on=("doc_b",), right_on=("doc_id",),
+    ).map_batches(
+        lambda b: b.select(["doc_a", "doc_b", "sh_a", "shingles"])
+        .rename_columns(["doc_a", "doc_b", "sh_a", "sh_b"]),
+        batch_format="pyarrow",
+    )
+    verified = j2.map_batches(
+        lambda b: verify_pairs_batch(b, threshold), batch_format="pyarrow")
+    return verified.sort(["doc_a", "doc_b"])
 
 
 def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
-
-
-def minhash_dedup_pairs(ds, threshold: float = 0.8):
-    """Full LSH pipeline: minhash -> bucket groupby -> per-bucket candidate
-    pairs -> exact-Jaccard verify. Returns a Dataset of
-    (doc_a, doc_b, jaccard_x1000) pairs with doc_a < doc_b.
-
-    The shingle sets needed for verification are recomputed per bucket from
-    the docs' text (shipped alongside); at larger scale you'd broadcast a
-    doc->shingle-sketch store instead.
-    """
-    sigs = ds.map_batches(
-        lambda b: _minhash_with_text(b), batch_format="pyarrow"
-    )
-
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        n = group.num_rows
-        if n < 2 or n > 200:  # cap pathological buckets (skew guard)
-            return _pairs_table([], [], [])
-        docs = group.column("doc_id").to_pylist()
-        texts = group.column("text")
-        sets = _word_shingles(texts)
-        thr_x1000 = int(round(threshold * 1000))
-        aa, bb, jj = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if docs[i] == docs[j]:
-                    continue
-                inter = len(np.intersect1d(sets[i], sets[j], assume_unique=True))
-                union = len(sets[i]) + len(sets[j]) - inter
-                # integer math exactly mirrors the SQL oracle
-                if union and inter * 1000 >= thr_x1000 * union:
-                    a, b = sorted((docs[i], docs[j]))
-                    aa.append(a)
-                    bb.append(b)
-                    jj.append(inter * 1000 // union)
-        return _pairs_table(aa, bb, jj)
-
-    pairs = sigs.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
-    # dedupe pairs found in multiple bands: tiny result, driver-side unique
-    t = pa.Table.from_pylist(pairs.take_all()) if True else None
-    if t is None or t.num_rows == 0:
-        return _pairs_table([], [], [])
-    import pyarrow.compute as pc  # noqa: F401
-
-    df = t.to_pandas().drop_duplicates(["doc_a", "doc_b"]).sort_values(
-        ["doc_a", "doc_b"]
-    )
-    return pa.Table.from_pandas(df, preserve_index=False)
-
-
-def _minhash_with_text(batch: pa.Table) -> pa.Table:
-    out = minhash_batch(batch)
-    texts = batch.column("text").to_pylist()
-    ids = batch.column("doc_id").cast(pa.int64()).to_pylist()
-    lookup = dict(zip(ids, texts))
-    t = [lookup[d] for d in out.column("doc_id").to_pylist()]
-    return out.append_column("text", pa.array(t, type=pa.string()))
 
 
 def _pairs_table(a, b, j) -> pa.Table:
@@ -170,94 +287,316 @@ def _pairs_table(a, b, j) -> pa.Table:
 # --- simhash ---------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:
-    """64-bit simhash over word FNV hashes, vectorized per doc."""
-    texts = batch.column("text").to_pylist()
-    out = []
-    for t in texts:
-        hs = np.array([hash_bytes(w.encode()) for w in t.split(" ")],
-                      dtype=np.uint64)
-        if not len(hs):
-            out.append(0)
-            continue
-        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                & np.uint64(1)).astype(np.int64)
-        v = (bits * 2 - 1).sum(axis=0)
-        sim = np.uint64(0)
-        sim = int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-            dtype=np.uint64))
-        out.append(sim)
+    """documents batch -> (doc_id, simhash) with the SQL-mirrorable
+    signature (texthash.simhash_signatures; stored as int64 bit pattern)."""
+    sims = simhash_signatures(batch.column("text"))
     return pa.table({
         "doc_id": batch.column("doc_id").cast(pa.int64()),
-        "simhash": pa.array(out, type=pa.uint64()),
+        "simhash": pa.array(sims.view(np.int64), type=pa.int64()),
     })
+
+
+def simhash_chunk_rows(batch: pa.Table) -> pa.Table:
+    """(doc_id, simhash) -> 4 rows per doc keyed by (chunk index, 16-bit
+    chunk value): any pair within hamming<=3 shares at least one chunk
+    exactly (pigeonhole over 4 chunks), so the banding is lossless."""
+    d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    s = batch.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    keys = []
+    for c in range(4):
+        chunk = (s >> _U64(16 * c)) & _U64(0xFFFF)
+        keys.append((_U64(c) << _U64(16)) | chunk)
+    key = np.concatenate(keys)
+    return pa.table({
+        "doc_id": pa.array(np.tile(d, 4), type=pa.int64()),
+        "simhash": pa.array(np.tile(s.view(np.int64), 4), type=pa.int64()),
+        "chunk_key": pa.array(key.view(np.int64), type=pa.int64()),
+        "part": pa.array((_splitmix(key) % _U64(N_PARTS)).astype(np.int64),
+                         type=pa.int64()),
+    })
+
+
+def _run_hamming_pairs(ids, sims, max_hamming):
+    """All pairs within one chunk run at hamming <= k, block-vectorized."""
+    m = len(ids)
+    aa, bb, hh = [], [], []
+    BLOCK = 1024
+    for s0 in range(0, m, BLOCK):
+        lhs = sims[s0: s0 + BLOCK]
+        x = lhs[:, None] ^ sims[None, :]
+        ham = popcount64(x.reshape(-1)).reshape(x.shape)
+        li, rj = np.nonzero(ham <= max_hamming)
+        gi = li + s0
+        keep = ids[gi] < ids[rj]
+        gi, rj = gi[keep], rj[keep]
+        if len(gi):
+            aa.append(ids[gi])
+            bb.append(ids[rj])
+            hh.append(ham[gi - s0, rj])
+    if not aa:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    return np.concatenate(aa), np.concatenate(bb), np.concatenate(hh)
+
+
+def partition_simhash_pairs(group: pa.Table, max_hamming: int = 3) -> pa.Table:
+    """One hash partition of chunk rows -> (doc_a, doc_b, hamming) pairs
+    (deduped within the partition)."""
+    k = group.column("chunk_key").to_numpy(zero_copy_only=False)
+    d = group.column("doc_id").to_numpy(zero_copy_only=False)
+    s = group.column("simhash").to_numpy(zero_copy_only=False).view(np.uint64)
+    order = np.argsort(k, kind="stable")
+    k, d, s = k[order], d[order], s[order]
+    bounds = np.flatnonzero(np.diff(k)) + 1
+    starts = np.concatenate([[0], bounds])
+    ends = np.concatenate([bounds, [len(k)]])
+    aa, bb, hh = [], [], []
+    for s0, e0 in zip(starts, ends):
+        if e0 - s0 < 2:
+            continue
+        # drop duplicate doc rows inside a run (same doc can land in a run
+        # once per chunk only, but identical docs repeat)
+        pa_, pb_, ph_ = _run_hamming_pairs(d[s0:e0], s[s0:e0], max_hamming)
+        if len(pa_):
+            aa.append(pa_)
+            bb.append(pb_)
+            hh.append(ph_)
+    if not aa:
+        return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                         "doc_b": pa.array([], type=pa.int64()),
+                         "hamming": pa.array([], type=pa.int64())})
+    a = np.concatenate(aa)
+    b = np.concatenate(bb)
+    h = np.concatenate(hh)
+    key = np.stack([a, b, h], axis=1)
+    key = np.unique(key, axis=0)
+    return pa.table({"doc_a": pa.array(key[:, 0], type=pa.int64()),
+                     "doc_b": pa.array(key[:, 1], type=pa.int64()),
+                     "hamming": pa.array(key[:, 2], type=pa.int64())})
+
+
+def simhash_dedup_pairs(ds, max_hamming: int = 3):
+    """Distributed simhash near-dup: signatures -> chunk banding groupby ->
+    vectorized per-run hamming -> distributed pair dedup. Exact (the
+    banding is lossless for hamming <= 3 over 4 chunks)."""
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+    chunks = sigs.map_batches(simhash_chunk_rows, batch_format="pyarrow")
+    pairs = chunks.groupby("part").map_groups(
+        lambda g: partition_simhash_pairs(g, max_hamming),
+        batch_format="pyarrow")
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        _first_row, batch_format="pyarrow")
+    return pairs.sort(["doc_a", "doc_b"])
 
 
 def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> pa.Table:
-    """Near-dup pairs by hamming distance (block by 16-bit chunks so a pair
-    within distance k shares at least one of 4 chunks exactly — the
-    standard simhash blocking trick)."""
-    ids = np.asarray(table.column("doc_id").to_pylist(), dtype=np.int64)
-    sims = np.asarray(table.column("simhash").to_pylist(), dtype=np.uint64)
-    seen = set()
-    aa, bb, hh = [], [], []
-    for c in range(4):
-        chunk = (sims >> np.uint64(16 * c)) & np.uint64(0xFFFF)
-        order = np.argsort(chunk, kind="stable")
-        sc = chunk[order]
-        bounds = np.flatnonzero(np.diff(sc)) + 1
-        groups = np.split(order, bounds)
-        for g in groups:
-            if len(g) < 2 or len(g) > 500:
-                continue
-            for i in range(len(g)):
-                for j in range(i + 1, len(g)):
-                    a, b = int(ids[g[i]]), int(ids[g[j]])
-                    if a == b:
-                        continue
-                    a, b = min(a, b), max(a, b)
-                    if (a, b) in seen:
-                        continue
-                    d = bin(int(sims[g[i]]) ^ int(sims[g[j]])).count("1")
-                    if d <= max_hamming:
-                        seen.add((a, b))
-                        aa.append(a)
-                        bb.append(b)
-                        hh.append(d)
-    order = np.lexsort((bb, aa)) if aa else np.empty(0, np.int64)
-    return pa.table({
-        "doc_a": pa.array(np.asarray(aa)[order] if len(aa) else [], type=pa.int64()),
-        "doc_b": pa.array(np.asarray(bb)[order] if len(bb) else [], type=pa.int64()),
-        "hamming": pa.array(np.asarray(hh)[order] if len(hh) else [], type=pa.int64()),
-    })
+    """Local (single-table) variant of the chunk-banded simhash pairing —
+    used by unit tests; the distributed path is simhash_dedup_pairs."""
+    t = simhash_chunk_rows(table)
+    out = partition_simhash_pairs(t, max_hamming)
+    idx = pc.sort_indices(out, sort_keys=[("doc_a", "ascending"),
+                                          ("doc_b", "ascending")])
+    return out.take(idx)
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    """DuckDB mirror of simhash_dedup_pairs over the documents view."""
+    bit_exprs = " + ".join(
+        f"CASE WHEN SUM(cnt * CASE WHEN (g >> {b}) & 1 = 1 THEN 1 ELSE -1 END)"
+        f" > 0 THEN CAST({1 << b} AS UBIGINT) ELSE CAST(0 AS UBIGINT) END"
+        for b in range(64)
+    )
+    return f"""
+WITH {sql_pows_cte(256)},
+dw AS (
+  SELECT doc_id, w, count(*) AS cnt
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY doc_id, w
+),
+uw AS (SELECT DISTINCT w FROM dw),
+{sql_wordhash31('uw').lstrip()},
+sims AS (
+  SELECT doc_id, {bit_exprs} AS simhash
+  FROM dw JOIN g64 USING (w) GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+ORDER BY doc_a, doc_b
+"""
 
 
 # --- embedding near-dup ----------------------------------------------------
 
-def embedding_near_pairs(table: pa.Table, threshold: float = 0.95) -> pa.Table:
-    """Cosine >= threshold pairs via blocked matmul (all-pairs at test
-    scale; per-bucket after an IVF pass at cluster scale)."""
-    emb = np.vstack([np.asarray(v, dtype=np.float64)
-                     for v in table.column("embedding").to_pylist()])
-    ids = np.asarray(table.column("vec_id").to_pylist(), dtype=np.int64)
+def _unit_matrix(table: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    col = table.column("embedding")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    vals = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(col[0]) if len(col) else 1
+    emb = vals.reshape(len(col), dim)
     norms = np.linalg.norm(emb, axis=1)
     norms[norms == 0] = 1.0
-    unit = emb / norms[:, None]
+    ids = table.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
+    return emb / norms[:, None], ids
+
+
+class BlockPairScorer:
+    """Actor stage for the distributed exact all-pairs: each task scores
+    one (block_i x block_j) tile of the similarity matrix. Blocks are
+    fetched from the object store and unit-normalized once per actor
+    (cached), so an actor handling several tiles reuses them."""
+
+    def __init__(self, refs, threshold: float):
+        self.refs = refs
+        self.threshold = threshold
+        self._cache: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+
+    def _block(self, i: int):
+        if i not in self._cache:
+            import ray
+
+            if len(self._cache) > 6:  # bound actor memory
+                self._cache.pop(next(iter(self._cache)))
+            self._cache[i] = _unit_matrix(ray.get(self.refs[i]))
+        return self._cache[i]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        aa, bb = [], []
+        for bi, bj in zip(batch.column("bi").to_pylist(),
+                          batch.column("bj").to_pylist()):
+            ui, ii = self._block(bi)
+            uj, jj = self._block(bj)
+            if len(ii) == 0 or len(jj) == 0:
+                continue
+            sims = ui @ uj.T
+            li, rj = np.nonzero(sims >= self.threshold)
+            a = ii[li]
+            b = jj[rj]
+            keep = a < b
+            aa.append(a[keep])
+            bb.append(b[keep])
+        if not aa:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64())})
+        # pair membership only: float similarity values are not emitted
+        # because SQL engines accumulate float32 cosines in a different
+        # order (not bit-stable across engines)
+        return pa.table({"vec_a": pa.array(np.concatenate(aa), type=pa.int64()),
+                         "vec_b": pa.array(np.concatenate(bb), type=pa.int64())})
+
+
+def embedding_near_pairs_ds(ds, threshold: float = 0.95, nblocks: int = 8,
+                            concurrency: int = 4):
+    """Distributed EXACT cosine near-dup: repartition the embeddings into
+    nblocks, materialize block refs in the object store, and score every
+    (i<=j) block tile in parallel. O(n^2/nblocks) memory per task; the
+    quadratic compute is inherent to the exact operator (the approximate
+    scale path is embedding_near_pairs_ivf). Returns a sorted Dataset of
+    (vec_a, vec_b)."""
+    import ray
+    import ray.data
+
+    refs = ds.repartition(nblocks).to_arrow_refs()
+    n = len(refs)
+    tiles = [{"bi": i, "bj": j} for i in range(n) for j in range(i, n)]
+    return ray.data.from_items(tiles).map_batches(
+        BlockPairScorer,
+        fn_constructor_kwargs={"refs": refs, "threshold": threshold},
+        batch_format="pyarrow",
+        batch_size=max(1, len(tiles) // max(concurrency, 1)),
+        concurrency=concurrency,
+        num_cpus=1,
+    ).sort(["vec_a", "vec_b"])
+
+
+def embedding_near_pairs_ivf(ds, threshold: float = 0.95, ncentroids: int = 16,
+                             nassign: int = 2, concurrency: int = 4):
+    """Approximate scale path: assign every vector to its nassign nearest
+    IVF centroids (broadcast once), group by bucket, exact-verify within
+    buckets, distributed pair dedup. Near pairs co-locate with high
+    probability; recall is asserted in pytest (rows-only driver check)."""
+    import ray
+
+    from .ann import IVFIndex, _emb_matrix
+
+    sample = pa.Table.from_pylist(ds.limit(4096).take_all())
+    s_emb, _ = _emb_matrix(sample)
+    index = IVFIndex(ncentroids=ncentroids)
+    index.train(s_emb)
+    cents_ref = ray.put(index.centroids)
+
+    class Assign:
+        def __init__(self, cents_ref, nassign):
+            self.cents = ray.get(cents_ref)
+            self.nassign = nassign
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            unit, ids = _unit_matrix(batch)
+            sims = unit @ self.cents.T
+            top = np.argsort(-sims, axis=1)[:, : self.nassign]
+            n, a = top.shape
+            emb_col = batch.column("embedding")
+            if isinstance(emb_col, pa.ChunkedArray):
+                emb_col = emb_col.combine_chunks()
+            idx = np.repeat(np.arange(n), a)
+            return pa.table({
+                "bucket": pa.array(top.reshape(-1), type=pa.int64()),
+                "vec_id": pa.array(np.repeat(ids, a), type=pa.int64()),
+                "embedding": emb_col.take(pa.array(idx)),
+            })
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        unit, ids = _unit_matrix(group)
+        sims = unit @ unit.T
+        li, rj = np.nonzero(sims >= threshold)
+        a, b = ids[li], ids[rj]
+        keep = a < b
+        key = np.unique(np.stack([a[keep], b[keep]], axis=1), axis=0) \
+            if keep.any() else np.empty((0, 2), np.int64)
+        return pa.table({"vec_a": pa.array(key[:, 0], type=pa.int64()),
+                         "vec_b": pa.array(key[:, 1], type=pa.int64())})
+
+    assigned = ds.map_batches(
+        Assign, fn_constructor_kwargs={"cents_ref": cents_ref,
+                                       "nassign": nassign},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    pairs = assigned.groupby("bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow")
+    pairs = pairs.groupby(["vec_a", "vec_b"]).map_groups(
+        _first_row, batch_format="pyarrow")
+    return pairs.sort(["vec_a", "vec_b"])
+
+
+def embedding_near_pairs(table: pa.Table, threshold: float = 0.95) -> pa.Table:
+    """Local exact all-pairs (unit tests / tiny inputs); the distributed
+    paths are embedding_near_pairs_ds / _ivf."""
+    unit, ids = _unit_matrix(table)
     aa, bb = [], []
     block = 512
     for s in range(0, len(unit), block):
         sims = unit[s: s + block] @ unit.T
-        for i in range(sims.shape[0]):
-            gi = s + i
-            js = np.flatnonzero(sims[i] >= threshold)
-            for j in js:
-                if j <= gi:
-                    continue
-                aa.append(int(ids[gi]))
-                bb.append(int(ids[j]))
-    # pair membership only: float similarity values are not emitted because
-    # reference SQL engines compute float32 cosines with a different
-    # accumulation order (not bit-stable across engines)
-    return pa.table({
-        "vec_a": pa.array(aa, type=pa.int64()),
-        "vec_b": pa.array(bb, type=pa.int64()),
-    })
+        li, rj = np.nonzero(sims >= threshold)
+        a = ids[s + li]
+        b = ids[rj]
+        keep = a < b
+        aa.append(a[keep])
+        bb.append(b[keep])
+    if not aa:
+        return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                         "vec_b": pa.array([], type=pa.int64())})
+    a = np.concatenate(aa)
+    b = np.concatenate(bb)
+    key = np.unique(np.stack([a, b], axis=1), axis=0)
+    return pa.table({"vec_a": pa.array(key[:, 0], type=pa.int64()),
+                     "vec_b": pa.array(key[:, 1], type=pa.int64())})
+
+
+# --- back-compat shims used by unit tests ----------------------------------
+
+def _word_shingles(texts, k: int = 3) -> list[np.ndarray]:
+    """Per-doc arrays of shingle hashes (thin wrapper over the vectorized
+    shingle_sets kernel; kept for tests and the exact_jaccard helper)."""
+    sv, off = shingle_sets(texts, k=k)
+    return [sv[off[i]: off[i + 1]] for i in range(len(off) - 1)]

@@ -24,15 +24,19 @@ TOKEN_RE_SQL = "[A-Za-z0-9_]+|[^A-Za-z0-9_ \\t\\n]"
 
 
 class TokenCounter:
-    """Actor-pool stage: the regex is compiled once per actor (__init__),
-    applied per batch."""
+    """Actor-pool stage. The BPE-ish count (word-char runs + punctuation
+    chars) is computed vectorized over the batch's concatenated byte
+    buffer (texthash.bpe_token_counts) — equivalent to len(findall) of
+    TOKEN_RE but with no per-row Python; the regex remains only as the
+    non-ASCII fallback inside the kernel."""
 
     def __init__(self, pattern: str = TOKEN_RE.pattern):
-        self.re = re.compile(pattern)
+        self.re = re.compile(pattern)  # kept for parity checks/fallback
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        counts = [len(self.re.findall(t)) for t in texts]
+        from .texthash import bpe_token_counts
+
+        counts = bpe_token_counts(batch.column("text"))
         ws = pc.count_substring(batch.column("text"), " ")
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),
@@ -139,6 +143,40 @@ class LangId:
         })
 
 
+def _sql_marker_count(marker: str) -> str:
+    """DuckDB expression for pc.count_substring(text, marker): both count
+    non-overlapping occurrences left-to-right."""
+    esc = marker.replace("'", "''")
+    return (f"(length(text) - length(replace(text, '{esc}', '')))"
+            f" // length('{esc}')")
+
+
+def _build_langid_sql() -> str:
+    """Exact mirror of LangId: per-language marker-count sums, argmax with
+    first-in-dict tie order, 'unknown' when every score is zero."""
+    langs = list(_LANG_MARKERS)
+    score_exprs = ", ".join(
+        "(" + " + ".join(_sql_marker_count(m) for m in _LANG_MARKERS[lang])
+        + f") AS s_{lang}"
+        for lang in langs
+    )
+    all_zero = " AND ".join(f"s_{lang} = 0" for lang in langs)
+    cases = []
+    for i, lang in enumerate(langs):
+        rest = langs[i + 1:]
+        if rest:
+            cond = " AND ".join(f"s_{lang} >= s_{r}" for r in rest)
+            cases.append(f"WHEN {cond} THEN '{lang}'")
+        else:
+            cases.append(f"ELSE '{lang}'")
+    case_sql = " ".join(cases)
+    return (
+        f"WITH s AS (SELECT doc_id, {score_exprs} FROM documents) "
+        f"SELECT doc_id, CASE WHEN {all_zero} THEN 'unknown' "
+        f"{case_sql} END AS pred_lang FROM s"
+    )
+
+
 # --- fingerprinting --------------------------------------------------------
 
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
@@ -179,3 +217,5 @@ def _rolling_hash(text: pa.Array | pa.ChunkedArray) -> np.ndarray:
 
 
 SQL_FINGERPRINT = "SELECT doc_id, md5(text) AS md5 FROM documents"
+
+SQL_LANGID = _build_langid_sql()

@@ -62,29 +62,38 @@ def encoded_dir(sf_dir: str, fresh: bool = True) -> str:
 
 # --- q: tokenize_stats -----------------------------------------------------
 
-def q_tokenize_stats(sf_dir: str) -> pa.Table:
+def q_tokenize_stats(sf_dir: str):
+    """Per-source token stats: vectorized partial aggregation per batch
+    (combiner), distributed final merge via ds.groupby().aggregate() —
+    partials never materialize on the driver."""
+    import ray.data
+
     ds = tokens_dataset(sf_dir)
 
     def partial(b: pa.Table) -> pa.Table:
-        t = b.group_by("source").aggregate(
+        return b.group_by("source").aggregate(
             [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
         )
-        return t
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = pa.Table.from_pylist(parts)
-    agg = merged.group_by("source").aggregate([
-        ("n_tok_count", "sum"), ("n_tok_sum", "sum"),
-        ("n_tok_min", "min"), ("n_tok_max", "max"),
-    ])
-    out = pa.table({
-        "source": agg.column("source"),
-        "n_docs": agg.column("n_tok_count_sum").cast(pa.int64()),
-        "sum_n_tok": agg.column("n_tok_sum_sum").cast(pa.int64()),
-        "min_n_tok": agg.column("n_tok_min_min").cast(pa.int64()),
-        "max_n_tok": agg.column("n_tok_max_max").cast(pa.int64()),
-    })
-    return out.sort_by("source")
+    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        "source"
+    ).aggregate(
+        ray.data.aggregate.Sum("n_tok_count"),
+        ray.data.aggregate.Sum("n_tok_sum"),
+        ray.data.aggregate.Min("n_tok_min"),
+        ray.data.aggregate.Max("n_tok_max"),
+    )
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": b.column("source"),
+            "n_docs": b.column("sum(n_tok_count)").cast(pa.int64()),
+            "sum_n_tok": b.column("sum(n_tok_sum)").cast(pa.int64()),
+            "min_n_tok": b.column("min(n_tok_min)").cast(pa.int64()),
+            "max_n_tok": b.column("max(n_tok_max)").cast(pa.int64()),
+        })
+
+    return agg.map_batches(rename, batch_format="pyarrow").sort("source")
 
 
 SQL_TOKENIZE_STATS = (

@@ -13,6 +13,7 @@ import pyarrow.parquet as pq
 from ..functions import ann, dedup, multimodal
 from ..functions.text import (
     SQL_FINGERPRINT,
+    SQL_LANGID,
     SQL_QUALITY,
     SQL_TOKEN_COUNT,
     LangId,
@@ -57,13 +58,17 @@ SQL_Q_QUALITY = SQL_QUALITY
 
 
 def q_langid(sf_dir: str):
-    """Heuristic language ID — no SQL mirror (rows-only check)."""
+    """Marker-frequency language ID; the scores are plain substring
+    counts + first-max argmax, mirrored exactly in SQL_LANGID."""
     from .encode import _default_concurrency
 
     return _docs_ds(sf_dir).map_batches(
         LangId, batch_format="pyarrow",
         concurrency=min(4, _default_concurrency()), num_cpus=1,
     )
+
+
+SQL_Q_LANGID = SQL_LANGID
 
 
 def q_fingerprint(sf_dir: str):
@@ -133,22 +138,30 @@ ORDER BY doc_a, doc_b
 
 
 def q_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming <= 3) — rows-only check. Signatures
-    computed distributed; the (tiny) signature table is blocked on the
-    driver for pair generation."""
-    sigs = _docs_ds(sf_dir).map_batches(
-        dedup.simhash_batch, batch_format="pyarrow"
-    ).take_all()
-    t = pa.table({
-        "doc_id": pa.array([r["doc_id"] for r in sigs], type=pa.int64()),
-        "simhash": pa.array([int(r["simhash"]) for r in sigs], type=pa.uint64()),
-    })
-    return dedup.simhash_near_pairs(t)
+    """SimHash near-dup pairs (hamming <= 3), fully distributed: signature
+    map_batches -> 16-bit chunk banding groupby (lossless by pigeonhole)
+    -> vectorized per-run hamming -> distributed pair dedup. The word hash
+    is SQL-mirrorable, so this is oracle-checked bit-for-bit."""
+    return dedup.simhash_dedup_pairs(_docs_ds(sf_dir), max_hamming=3)
+
+
+SQL_Q_SIMHASH = dedup.sql_simhash_pairs(3)
 
 
 def q_embedding_neardup(sf_dir: str):
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    return dedup.embedding_near_pairs(emb, threshold=0.3)
+    """Exact cosine near-dup pairs, distributed over block-pair tiles
+    (no driver-side table read; see dedup.embedding_near_pairs_ds)."""
+    return dedup.embedding_near_pairs_ds(_emb_ds(sf_dir), threshold=0.3,
+                                         nblocks=8, concurrency=4)
+
+
+def q_embedding_neardup_ivf(sf_dir: str):
+    """Approximate IVF-bucketed near-dup (the 100-TB scale path): vectors
+    multi-assigned to their 2 nearest centroids, pairs found within
+    buckets only — rows-only driver check; recall vs the exact operator is
+    asserted in pytest."""
+    return dedup.embedding_near_pairs_ivf(_emb_ds(sf_dir), threshold=0.3,
+                                          ncentroids=8, nassign=2)
 
 
 SQL_Q_EMB_NEARDUP = (
@@ -231,17 +244,25 @@ def q_window_agg(sf_dir: str):
             [("v1000", "count"), ("v1000", "sum")]
         )
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").take_all()
-    merged = pa.Table.from_pylist(parts)
-    agg = merged.group_by(["user_id", "window_start"]).aggregate(
-        [("v1000_count", "sum"), ("v1000_sum", "sum")]
+    import ray.data
+
+    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
+        ["user_id", "window_start"]
+    ).aggregate(
+        ray.data.aggregate.Sum("v1000_count"),
+        ray.data.aggregate.Sum("v1000_sum"),
     )
-    return pa.table({
-        "user_id": agg.column("user_id").cast(pa.int64()),
-        "window_start": agg.column("window_start"),
-        "n_events": agg.column("v1000_count_sum").cast(pa.int64()),
-        "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
-    }).sort_by([("user_id", "ascending"), ("window_start", "ascending")])
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": b.column("user_id").cast(pa.int64()),
+            "window_start": b.column("window_start").cast(pa.timestamp("us")),
+            "n_events": b.column("sum(v1000_count)").cast(pa.int64()),
+            "sum_value_x1000": b.column("sum(v1000_sum)").cast(pa.int64()),
+        })
+
+    return merged.map_batches(rename, batch_format="pyarrow").sort(
+        ["user_id", "window_start"])
 
 
 SQL_Q_WINDOW_AGG = (

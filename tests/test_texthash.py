@@ -1,0 +1,199 @@
+"""Tests for the vectorized text-hash kernels (texthash.py) and the
+round-2 distributed dedup pipelines: kernel parity vs naive references,
+DuckDB oracle parity for simhash/langid, distributed vs local agreement."""
+
+import re
+import string
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from orc_ray.functions import dedup
+from orc_ray.functions import texthash as th
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return pq.read_table(f"{SF}/documents.parquet")
+
+
+def _wh31_naive(w: str) -> int:
+    h = 0
+    for i, b in enumerate(w.encode()):
+        h = (h + (b + 7) * pow(131, i, th.P31)) % th.P31
+    return h
+
+
+def _mix_naive(h: int) -> int:
+    m = (h * th.MIX_K) % (1 << 64)
+    return m ^ (m >> 31)
+
+
+FUZZ = None
+
+
+def _fuzz_texts(n=150, seed=7):
+    global FUZZ
+    if FUZZ is None:
+        rng = np.random.default_rng(seed)
+        alph = list(string.ascii_letters + string.digits
+                    + "_ .,!?()[]{}<>-+=;:'\"" + "   ")
+        FUZZ = ["".join(rng.choice(alph, size=rng.integers(0, 120)))
+                for _ in range(n)]
+    return FUZZ
+
+
+def test_word_hashes31_matches_naive():
+    texts = _fuzz_texts() + ["", "a", "a  b", "hello world"]
+    arr = pa.array(texts)
+    flat, counts = th.flat_words(arr)
+    assert counts.tolist() == [len(t.split(" ")) for t in texts]
+    got = th.word_hashes31(flat)
+    exp = [_wh31_naive(w) for t in texts for w in t.split(" ")]
+    assert got.tolist() == exp
+
+
+def test_mix64_matches_naive():
+    h = np.array([0, 1, 12345, th.P31 - 1], dtype=np.uint64)
+    got = th.mix64(h)
+    assert [int(g) for g in got] == [_mix_naive(int(x)) for x in h]
+
+
+def test_simhash_signatures_match_naive():
+    texts = _fuzz_texts()[:40]
+    sims = th.simhash_signatures(pa.array(texts))
+    for t, s in zip(texts, sims):
+        gs = [_mix_naive(_wh31_naive(w)) for w in t.split(" ")]
+        v = [0] * 64
+        for g in gs:
+            for b in range(64):
+                v[b] += 1 if (g >> b) & 1 else -1
+        exp = sum(1 << b for b in range(64) if v[b] > 0)
+        assert int(s) == exp
+
+
+def test_bpe_token_counts_match_regex():
+    rx = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+    texts = _fuzz_texts() + ["", "  ", "a.b", "__x__ 9!", "\tq\nz"]
+    got = th.bpe_token_counts(pa.array(texts))
+    assert got.tolist() == [len(rx.findall(t)) for t in texts]
+
+
+def test_bpe_token_counts_non_ascii_fallback():
+    rx = re.compile(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")
+    texts = ["héllo wörld", "的了是我 abc", "mixed é."]
+    got = th.bpe_token_counts(pa.array(texts))
+    assert got.tolist() == [len(rx.findall(t)) for t in texts]
+
+
+def test_shingle_sets_match_naive():
+    texts = _fuzz_texts()[:50] + ["a b", "a b c", "a b c a b c"]
+    sv, off = th.shingle_sets(pa.array(texts), k=3)
+    for i, t in enumerate(texts):
+        ws = t.split(" ")
+        exp = (len(set(tuple(ws[j: j + 3]) for j in range(len(ws) - 2)))
+               if len(ws) >= 3 else 0)
+        seg = sv[off[i]: off[i + 1]]
+        assert len(seg) == exp, t
+        if len(seg) > 1:  # sorted unique within each doc
+            assert (np.diff(seg.astype(np.uint64)) > np.uint64(0)).all()
+
+
+def test_popcount64():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 63, 500).astype(np.uint64)
+    assert (th.popcount64(x) == [bin(int(v)).count("1") for v in x]).all()
+
+
+# --- DuckDB oracle parity (no Ray needed) ----------------------------------
+
+def test_simhash_sql_oracle_parity(docs):
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = con.sql(dedup.sql_simhash_pairs(3)).arrow()
+    sigs = dedup.simhash_batch(docs)
+    mine = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    assert mine.to_pylist() == oracle.to_pylist()
+
+
+def test_langid_sql_oracle_parity(docs):
+    import duckdb
+
+    from orc_ray.functions.text import SQL_LANGID, LangId
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    oracle = con.sql(SQL_LANGID).arrow()
+    mine = LangId()(docs)
+    o = dict(zip(oracle.column("doc_id").to_pylist(),
+                 oracle.column("pred_lang").to_pylist()))
+    m = dict(zip(mine.column("doc_id").to_pylist(),
+                 mine.column("pred_lang").to_pylist()))
+    assert m == o
+
+
+# --- distributed pipelines (Ray) -------------------------------------------
+
+def test_minhash_dedup_distributed_matches_exact_jaccard(ray_session):
+    import duckdb
+    import ray.data
+
+    from orc_ray.pipelines.queries_extras import SQL_Q_NGRAM_DEDUP
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    res = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    mine = pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.sql(SQL_Q_NGRAM_DEDUP).arrow()
+    assert mine.to_pylist() == oracle.to_pylist()
+
+
+def test_simhash_dedup_distributed_matches_local(ray_session, docs):
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    res = dedup.simhash_dedup_pairs(ds, max_hamming=3)
+    mine = pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    local = dedup.simhash_near_pairs(dedup.simhash_batch(docs), max_hamming=3)
+    assert mine.to_pylist() == local.to_pylist()
+
+
+def test_embedding_neardup_distributed_matches_local(ray_session):
+    import ray.data
+
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    local = dedup.embedding_near_pairs(embs, threshold=0.3)
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    res = dedup.embedding_near_pairs_ds(ds, threshold=0.3, nblocks=4,
+                                        concurrency=2)
+    mine = pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    assert mine.to_pylist() == local.to_pylist()
+
+
+def test_embedding_neardup_ivf_recall(ray_session):
+    import ray.data
+
+    embs = pq.read_table(f"{SF}/embeddings.parquet")
+    exact = set(zip(*[dedup.embedding_near_pairs(embs, 0.3).column(c).to_pylist()
+                      for c in ("vec_a", "vec_b")]))
+    ds = ray.data.read_parquet(f"{SF}/embeddings.parquet")
+    res = dedup.embedding_near_pairs_ivf(ds, threshold=0.3, ncentroids=8,
+                                         nassign=2, concurrency=2)
+    approx = pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    ap = set(zip(approx.column("vec_a").to_pylist(),
+                 approx.column("vec_b").to_pylist()))
+    assert ap <= exact  # within-bucket verification is exact
+    recall = len(ap & exact) / len(exact) if exact else 1.0
+    assert recall >= 0.5, f"IVF near-dup recall {recall}"
