@@ -43,6 +43,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
         "events_roundtrip": q.q_events_roundtrip,
+        "words_roundtrip": q.q_words_roundtrip,
+        "map_roundtrip": q.q_map_roundtrip,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -74,6 +76,8 @@ def oracle_sql() -> dict[str, str]:
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
+        "words_roundtrip": q.SQL_WORDS_ROUNDTRIP,
+        "map_roundtrip": q.SQL_MAP_ROUNDTRIP,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,

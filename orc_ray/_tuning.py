@@ -1,67 +1,71 @@
 """Allocator tuning for hot numpy kernels under many concurrent workers.
 
-On this sandbox's kernel (and many virtualized hosts) first-touch page
-faults are expensive and serialize across processes: an allocation-heavy
-numpy workload running 24-way measures ~6x slower per task than solo, while
-in-place (no-allocation) numpy scales linearly. Since every numpy temporary
-is a fresh >128 KiB mmap under default glibc, codec kernels hit this hard.
+History: round 1's kernels allocated many large int64 temporaries per
+encode; on this sandbox's kernel their first-touch page faults serialized
+across workers and ``GLIBC_TUNABLES=glibc.malloc.hugetlb=1`` (THP-backed
+malloc) recovered ~4x at 24-way concurrency.
 
-Measured fix: ``GLIBC_TUNABLES=glibc.malloc.hugetlb=1`` (glibc >= 2.35)
-makes malloc madvise(THP) its mmaps/heap, cutting fault counts ~512x:
-24-way probe mean 3.45s -> 0.86s (solo 0.6s).
+Round 2 re-measured after the kernels were rewritten (int32 paths, big-run
+mask segmentation, grouped packing — far fewer and smaller temporaries):
 
-Two application points:
-- ``ensure_env()``: sets the env var in this process so every child
-  (ray workers when WE call ray.init, subprocesses) inherits it.
-  Called at orc_ray import.
-- ``remote_args()``: merge into ``map_batches(... **remote_args())`` so
-  driver-owned Ray sessions (where ray.init happened before orc_ray was
-  imported) spawn the stage's workers with the tunable via runtime_env.
+    30-way multiprocessing, 2M-token partition encode, per-task seconds
+      default glibc:  solo 0.253  30-way 0.284   (~1.1x — near-linear)
+      hugetlb=1:      solo 0.298  30-way 1.158   (3.9x degradation)
+
+With the new allocation profile the THP tunable is the bottleneck (huge-
+page faults/compaction serialize), while default glibc reaches steady
+state and scales almost linearly. So the default is now NO tunables, and
+``remote_args()`` actively neutralizes a hugetlb tunable inherited from
+older environments. Set ``ORC_RAY_MALLOC_TUNING=hugetlb`` to restore the
+old behavior for experiments.
 """
 
 from __future__ import annotations
 
 import os
 
-_TUNABLE = "glibc.malloc.hugetlb=1"
-_need_runtime_env = False
+_OLD_TUNABLE = "glibc.malloc.hugetlb=1"
+
+
+def _mode() -> str:
+    return os.environ.get("ORC_RAY_MALLOC_TUNING", "none")
 
 
 def ensure_env() -> None:
-    """Export the tunable; note whether Ray workers can still inherit it
-    (they do iff ray.init happens after this export)."""
-    global _need_runtime_env
-    if os.environ.get("ORC_RAY_NO_MALLOC_TUNING"):
-        return
+    """Called at orc_ray import. Default mode: strip the round-1 hugetlb
+    tunable if it is the only thing in GLIBC_TUNABLES (i.e. we set it),
+    so child processes (ray workers we spawn, subprocesses) run with the
+    default allocator."""
     cur = os.environ.get("GLIBC_TUNABLES", "")
-    if "hugetlb" not in cur:
-        os.environ["GLIBC_TUNABLES"] = f"{cur}:{_TUNABLE}" if cur else _TUNABLE
-        try:
-            import ray
-
-            _need_runtime_env = ray.is_initialized()
-        except Exception:
-            _need_runtime_env = False
+    if _mode() == "hugetlb":
+        if "hugetlb" not in cur:
+            os.environ["GLIBC_TUNABLES"] = (f"{cur}:{_OLD_TUNABLE}" if cur
+                                            else _OLD_TUNABLE)
+        return
+    if cur == _OLD_TUNABLE:
+        del os.environ["GLIBC_TUNABLES"]
 
 
 def env_vars() -> dict[str, str]:
-    if os.environ.get("ORC_RAY_NO_MALLOC_TUNING"):
-        return {}
-    return {"GLIBC_TUNABLES": os.environ.get("GLIBC_TUNABLES", _TUNABLE)}
+    if _mode() == "hugetlb":
+        return {"GLIBC_TUNABLES": os.environ.get("GLIBC_TUNABLES",
+                                                 _OLD_TUNABLE)}
+    # neutralize an inherited hugetlb tunable in ray workers
+    if "hugetlb" in os.environ.get("GLIBC_TUNABLES", ""):
+        return {"GLIBC_TUNABLES": ""}
+    return {}
 
 
 def remote_args() -> dict:
-    """Extra ray-remote kwargs for heavy map_batches stages (map_batches
-    forwards unknown kwargs to the underlying actors/tasks)."""
+    """Extra ray-remote kwargs for heavy map_batches stages."""
     ev = env_vars()
-    if not ev or not _need_runtime_env:
+    if not ev:
         return {}
     return {"runtime_env": {"env_vars": ev}}
 
 
 def prewarm(mib: int | None = None) -> None:
-    """Optionally fault heap pages up front (off by default; the hugetlb
-    tunable makes this mostly unnecessary)."""
+    """Optionally fault heap pages up front (off by default)."""
     if mib is None:
         mib = int(os.environ.get("ORC_RAY_PREWARM_MIB", "0"))
     if mib <= 0:

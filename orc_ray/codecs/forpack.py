@@ -48,3 +48,37 @@ def decode(buf: bytes) -> np.ndarray:
     pos += 1
     residuals, pos = unpack_bits(buf, width, n, pos)
     return (residuals + np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+
+
+def parse_header(head: bytes) -> tuple[int, int, int, int]:
+    """(n, vmin, width, header_size) from the first bytes of a FOR stream.
+    Fixed-width packing makes the codec analytically seekable: value i
+    occupies bits [i*width, (i+1)*width) after the header — no stored
+    index needed (the ROW_INDEX analogue for this codec is pure math)."""
+    n, pos = read_vulong(head, 0)
+    if n == 0:
+        return 0, 0, 0, pos
+    vmin, pos = read_vslong(head, pos)
+    width = head[pos]
+    return n, vmin, width, pos + 1
+
+
+def range_bytes(lo: int, hi: int, width: int, header: int) -> tuple[int, int, int]:
+    """Raw-byte range [byte_lo, byte_hi) covering values [lo, hi), plus the
+    byte-aligned start value lo2 <= lo the caller must decode from."""
+    import math
+
+    step = 8 // math.gcd(width, 8)
+    lo2 = (lo // step) * step
+    byte_lo = header + (lo2 * width) // 8
+    byte_hi = header + (hi * width + 7) // 8
+    return byte_lo, byte_hi, lo2
+
+
+def decode_range(payload: bytes, lo2: int, lo: int, hi: int, vmin: int,
+                 width: int) -> np.ndarray:
+    """Decode values [lo, hi) from payload bytes that start at value lo2's
+    (byte-aligned) position."""
+    residuals, _ = unpack_bits(payload, width, hi - lo2, 0)
+    vals = (residuals + np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+    return vals[lo - lo2:]

@@ -348,7 +348,9 @@ def _pct_from_hist_ragged(hist: np.ndarray, lengths: np.ndarray, p: float) -> np
 def _segments(v: np.ndarray):
     """Yield (kind, start, end) with kind 0=fixed-run, 1=variable, matching
     the reference state machine's flush boundaries. Single vectorized run
-    detection + monotone pointer walk (no per-chunk searches)."""
+    detection, then a pointer walk over the BIG (>=MIN_REPEAT) runs only —
+    O(#big runs + #segments) Python steps, never O(#values): short runs
+    can't start a fixed segment, so their boundaries are irrelevant."""
     n = len(v)
     if n == 0:
         return
@@ -363,30 +365,28 @@ def _segments(v: np.ndarray):
     big = (run_bounds[1:] - run_bounds[:-1]) >= MIN_REPEAT
     big_starts = run_bounds[:-1][big].tolist()  # python ints: fast iteration
     big_ends = run_bounds[1:][big].tolist()
-    run_ends = run_bounds[1:].tolist()
     nbig = len(big_starts)
 
     c = 0
-    ri = 0  # run containing c
+    bi = 0  # first big run with end > c
     bj = 0  # next big run with start > current variable-span start
-    nruns = len(run_ends)
     while c < n:
-        while ri < nruns and run_ends[ri] <= c:
-            ri += 1
-        re = run_ends[ri]
-        L = re - c
-        if L >= MIN_REPEAT:
-            # fixed run from c (covers both full runs and post-512-cut tails)
-            while L >= MAX_SCOPE:
-                yield (0, c, c + MAX_SCOPE)
-                c += MAX_SCOPE
-                L -= MAX_SCOPE
+        while bi < nbig and big_ends[bi] <= c:
+            bi += 1
+        if bi < nbig and big_starts[bi] <= c:
+            # c is inside a big run (at its start, or at a post-512-cut tail)
+            L = big_ends[bi] - c
             if L >= MIN_REPEAT:
-                yield (0, c, c + L)
-                c += L
-                continue
-            if L == 0:
-                continue
+                while L >= MAX_SCOPE:
+                    yield (0, c, c + MAX_SCOPE)
+                    c += MAX_SCOPE
+                    L -= MAX_SCOPE
+                if L >= MIN_REPEAT:
+                    yield (0, c, c + L)
+                    c += L
+                    continue
+                if L == 0:
+                    continue
             # 1-2 leftover equal values fall into the variable span
         s = c
         while bj < nbig and big_starts[bj] <= s:
@@ -584,6 +584,58 @@ def _is_safe_subtract(left: int, right: int) -> bool:
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------
+
+def run_index(buf: bytes, stride: int) -> list[tuple[int, int]]:
+    """Seek-point index for an RLEv2 stream: for every `stride` values,
+    the (value position, byte offset) of the run containing that stride
+    boundary. Mirrors ORC's ROW_INDEX positions (positionrecorder.go:1-12,
+    writer.go:337-384): decode can start at any entry's byte offset and
+    skip (boundary - value position) values. Header-scan only — O(#runs),
+    never unpacks payloads."""
+    size = len(buf)
+    entries: list[tuple[int, int]] = []
+    pos = 0
+    total = 0
+    next_boundary = 0
+    while pos < size:
+        first = buf[pos]
+        tag = (first >> 6) & 0x3
+        if tag == SHORT_REPEAT:
+            sz = ((first >> 3) & 0x7) + 1
+            cnt = (first & 0x7) + MIN_REPEAT
+            nxt = pos + 1 + sz
+        elif tag == DIRECT:
+            fb = decode_bit_width((first >> 1) & 0x1F)
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            nxt = pos + 2 + (cnt * fb + 7) // 8
+        elif tag == PATCHED_BASE:
+            fb = decode_bit_width((first >> 1) & 0x1F)
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            third = buf[pos + 2]
+            base_bytes = ((third >> 5) & 0x7) + 1
+            patch_width = decode_bit_width(third & 0x1F)
+            fourth = buf[pos + 3]
+            patch_gap_width = ((fourth >> 5) & 0x7) + 1
+            pll = fourth & 0x1F
+            gvp_w = get_closest_fixed_bits(patch_width + patch_gap_width)
+            nxt = pos + 4 + base_bytes + (cnt * fb + 7) // 8 + (pll * gvp_w + 7) // 8
+        else:  # DELTA
+            fbo = (first >> 1) & 0x1F
+            fb = decode_bit_width(fbo) if fbo != 0 else 0
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            p = pos + 2
+            _, p = read_vulong(buf, p)
+            _, p = read_vslong(buf, p)
+            if fb != 0:
+                p += ((cnt - 2) * fb + 7) // 8
+            nxt = p
+        while next_boundary < total + cnt:
+            entries.append((total, pos))
+            next_boundary += stride
+        total += cnt
+        pos = nxt
+    return entries
+
 
 def decode(buf: bytes, signed: bool, n: int | None = None,
            out_dtype=np.int64) -> np.ndarray:

@@ -37,6 +37,20 @@ def compress(data: bytes, chunk_size: int = DEFAULT_CHUNK, level: int = -1) -> b
     return bytes(out)
 
 
+def chunk_offsets(data: bytes) -> list[int]:
+    """Compressed byte offset of each chunk (raw offsets are implicit:
+    chunk i covers raw bytes [i*chunk_size, (i+1)*chunk_size)). Stored in
+    stream metadata so range reads can decompress only covering chunks."""
+    out = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        out.append(pos)
+        h = data[pos] | (data[pos + 1] << 8) | (data[pos + 2] << 16)
+        pos += 3 + (h >> 1)
+    return out
+
+
 def decompress(data: bytes) -> bytes:
     out = bytearray()
     pos = 0

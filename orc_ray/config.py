@@ -32,6 +32,10 @@ class EncoderConfig:
     # <1% size for ~25% single-node throughput but makes the pipeline more
     # memory-bound (worse multi-worker scaling on shared-bus hosts)
     zlib_level: int = 6
+    # seek points: record a (value position, byte offset) index entry per
+    # stream every this-many values (writer.go:27 DefaultRowIndexStride),
+    # enabling partial-stripe row-range decode; 0 disables
+    row_index_stride: int = 10_000
     # selector sampling: streams larger than this are chosen on a sample
     selector_sample_values: int = 65_536
     # stateful selector re-evaluates a cached per-(source,stream) choice
@@ -48,6 +52,7 @@ class EncoderConfig:
             "string_blob_candidates": list(self.string_blob_candidates),
             "outer_compression": self.outer_compression,
             "zlib_level": self.zlib_level,
+            "row_index_stride": self.row_index_stride,
             "selector_sample_values": self.selector_sample_values,
             "selector_recheck_every": self.selector_recheck_every,
             "fsst_iterations": self.fsst_iterations,

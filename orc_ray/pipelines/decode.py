@@ -60,6 +60,80 @@ def decode_dataset(
     )
 
 
+class StripeRangeDecoder:
+    """map_batches stage for row-range reads: each manifest row arrives
+    with a per-stripe (row_lo, row_cnt) sub-range; the seek-point indexes
+    mean only the covering byte ranges of each blob file are read."""
+
+    def __init__(self, out_dir: str, columns: list[str] | None = None):
+        self.blobs_dir = mf.blobs_dir(out_dir)
+        self.columns = columns
+
+    def __call__(self, man: pa.Table):
+        from ..stripe import decode_blob_rows
+
+        cols = ["blob_path", "meta_json", "row_lo", "row_cnt"]
+        for row in man.select(cols).to_pylist():
+            meta = json.loads(row["meta_json"])
+            path = os.path.join(self.blobs_dir, row["blob_path"])
+            table, _ = decode_blob_rows(path, meta, row["row_lo"],
+                                        row["row_cnt"], columns=self.columns)
+            yield table
+
+
+def read_rows(
+    out_dir: str,
+    row_start: int,
+    row_count: int,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Decode only global rows [row_start, row_start+row_count) of an
+    encoded dataset (rows in manifest order: partition_id, stripe_id).
+    The manifest maps the range to (stripe, intra-stripe range) pairs and
+    the seek-point indexes (T5) keep reads to the covering byte ranges —
+    the cursor.go:179-198 partial-stripe read, distributed."""
+    import numpy as np
+    import ray.data
+
+    from .encode import _default_concurrency
+
+    man = mf.read_manifest(out_dir)
+    order = sorted(range(man.num_rows), key=lambda i: (
+        man.column("partition_id")[i].as_py(), man.column("stripe_id")[i].as_py()))
+    rows = man.take(pa.array(order, type=pa.int64()))
+    counts = np.asarray(rows.column("num_rows").to_pylist(), dtype=np.int64)
+    starts = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    lo, hi = row_start, row_start + row_count
+    picked = []
+    for i in range(len(counts)):
+        s, e = int(starts[i]), int(starts[i + 1])
+        if e <= lo or s >= hi:
+            continue
+        picked.append({
+            "blob_path": rows.column("blob_path")[i].as_py(),
+            "meta_json": rows.column("meta_json")[i].as_py(),
+            "row_lo": max(0, lo - s),
+            "row_cnt": min(e, hi) - max(s, lo),
+        })
+    if not picked:
+        return None
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    ds = ray.data.from_items(picked, override_num_blocks=len(picked))
+    return ds.map_batches(
+        StripeRangeDecoder,
+        fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=min(concurrency if isinstance(concurrency, int) else 4,
+                        len(picked)),
+        num_cpus=1,
+        **remote_args(),
+    )
+
+
 def decode_table(out_dir: str, columns: list[str] | None = None) -> pa.Table:
     """Driver-side decode of a (small) encoded directory without Ray — used
     by tests and tools (the orc2csv analogue)."""

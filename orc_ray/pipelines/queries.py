@@ -242,3 +242,111 @@ def q_events_roundtrip(sf_dir: str):
 
 SQL_EVENTS_ROUNDTRIP = ("SELECT event_id, ts, user_id, event_type, value, props "
                         "FROM events")
+
+
+# --- q: words_roundtrip (list<string> codec through the full gate) ---------
+
+def q_words_roundtrip(sf_dir: str):
+    """documents -> add a list<string> words column -> stripe encode ->
+    decode -> summarize back to scalars. Exercises the recursive list
+    child codec (C23 for non-int children) end-to-end."""
+    import ray.data
+
+    out = _work_dir(sf_dir, "encoded_words")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def add_words(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ")
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "words": words,
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    src = ds.map_batches(add_words, batch_format="pyarrow")
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(src, out, cfg, batch_rows=4096,
+                             concurrency=4).materialize()
+
+    def summarize(b: pa.Table) -> pa.Table:
+        words = b.column("words")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).cast(pa.int64())
+        first = pc.list_element(words, 0)
+        lens = n.to_numpy(zero_copy_only=False)
+        flat = words.flatten()
+        off = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=off[1:])
+        last = flat.take(pa.array(off[1:] - 1, type=pa.int64()))
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_words": n,
+            "first_word": first,
+            "last_word": last,
+        })
+
+    return decode_dataset(out, concurrency=4).map_batches(
+        summarize, batch_format="pyarrow")
+
+
+SQL_WORDS_ROUNDTRIP = (
+    "SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words, "
+    "(string_split(text, ' '))[1] AS first_word, "
+    "(string_split(text, ' '))[-1] AS last_word FROM documents"
+)
+
+
+# --- q: map_roundtrip (map codec through the full gate) --------------------
+
+def q_map_roundtrip(sf_dir: str):
+    """events -> build a map<string,int64> column -> stripe encode ->
+    decode -> extract back to scalars. Exercises the map codec (C24)
+    end-to-end."""
+    import ray.data
+
+    out = _work_dir(sf_dir, "encoded_map")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def add_map(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0)),
+                        pa.int64())
+        offsets = pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32())
+        m = pa.MapArray.from_arrays(offsets, b.column("event_type").combine_chunks()
+                                    if isinstance(b.column("event_type"), pa.ChunkedArray)
+                                    else b.column("event_type"), v1000.combine_chunks()
+                                    if isinstance(v1000, pa.ChunkedArray) else v1000)
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "kv": m,
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "event_type", "value"])
+    src = ds.map_batches(add_map, batch_format="pyarrow")
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(src, out, cfg, batch_rows=4096,
+                             concurrency=4).materialize()
+
+    def extract(b: pa.Table) -> pa.Table:
+        kv = b.column("kv")
+        if isinstance(kv, pa.ChunkedArray):
+            kv = kv.combine_chunks()
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "k": kv.keys,
+            "v": kv.items.cast(pa.int64()),
+        })
+
+    return decode_dataset(out, concurrency=4).map_batches(
+        extract, batch_format="pyarrow")
+
+
+SQL_MAP_ROUNDTRIP = (
+    "SELECT event_id, event_type AS k, "
+    "CAST(round(value * 1000) AS BIGINT) AS v FROM events"
+)

@@ -194,3 +194,68 @@ def test_nullable_struct_roundtrip():
         type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
     )
     _roundtrip(pa.table({"st": s}))
+
+
+def test_nullable_list_and_typed_children_roundtrip():
+    """Round 2: list<string>, list<float>, nested lists, null entries at
+    every level (reference treewriter.go:722-804 recursive child encode)."""
+    t = pa.table({
+        "ls": pa.array([["a", "bb", None], ["x"], None, [], ["zz", "a"]] * 40,
+                       type=pa.list_(pa.string())),
+        "lf": pa.array([[1.5, 2.5], None, [0.0], [], [3.25]] * 40,
+                       type=pa.list_(pa.float64())),
+        "ll": pa.array([[[1, 2], [3]], [[4]], None, [], [[5, 6, 7]]] * 40,
+                       type=pa.list_(pa.list_(pa.int64()))),
+        "lb": pa.array([[True, None], [], None, [False], [True]] * 40,
+                       type=pa.list_(pa.bool_())),
+    })
+    _roundtrip(t)
+
+
+def test_map_roundtrip():
+    """C24 (treewriter.go:806-904): LENGTH + key/value children."""
+    t = pa.table({
+        "props": pa.array([[("a", 1), ("b", 2)], [], None, [("z", 9)]] * 50,
+                          type=pa.map_(pa.string(), pa.int64())),
+        "m2": pa.array([[("k", "v")], [("x", "y"), ("w", None)], [], None] * 50,
+                       type=pa.map_(pa.string(), pa.string())),
+    })
+    _roundtrip(t)
+
+
+def test_decimal128_roundtrip():
+    """C20: the reference reads decimals only (no writer case); here both
+    directions work via lo/hi int64 split streams."""
+    import decimal as D
+
+    t = pa.table({
+        "d": pa.array(
+            [D.Decimal("123.45"), None, D.Decimal("-9999999999999999.99"),
+             D.Decimal("0.01")] * 60, type=pa.decimal128(38, 2)),
+        "d2": pa.array(
+            [D.Decimal("1.50"), D.Decimal("2.50"), D.Decimal("3.00"),
+             D.Decimal("-4.75")] * 60, type=pa.decimal128(10, 2)),
+    })
+    _roundtrip(t)
+
+
+def test_dense_union_roundtrip():
+    """C25 (treewriter.go:1033-1132): byte-RLE tags + per-variant children
+    (canonical dense offsets)."""
+    ty_i = pa.array([7, 8, 9], type=pa.int64())
+    ty_s = pa.array(["a", "b"], type=pa.string())
+    tags = pa.array([0, 1, 0, 0, 1], type=pa.int8())
+    offsets = pa.array([0, 0, 1, 2, 1], type=pa.int32())
+    u = pa.UnionArray.from_dense(tags, offsets, [ty_i, ty_s], ["i", "s"], [0, 1])
+    _roundtrip(pa.table({"u": u}))
+
+
+def test_list_string_fsst_path_roundtrip():
+    rng = np.random.default_rng(0)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", None]
+    big = [
+        [words[rng.integers(0, 6)] for _ in range(rng.integers(0, 8))]
+        if rng.random() > 0.1 else None
+        for _ in range(5000)
+    ]
+    _roundtrip(pa.table({"meta": pa.array(big, type=pa.list_(pa.string()))}))
