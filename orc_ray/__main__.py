@@ -47,7 +47,42 @@ def cmd_decode(args) -> int:
     from .pipelines.decode import decode_table
 
     columns = args.columns.split(",") if args.columns else None
-    table = decode_table(args.dir, columns=columns)
+    if args.rows:
+        # seek-point path: reads only the byte ranges covering the range
+        import json as _json
+        import os as _os
+
+        import numpy as _np
+        import pyarrow as pa
+
+        from .state import manifest as mf
+        from .stripe import decode_blob_rows
+
+        start_s, count_s = args.rows.split(":")
+        lo = int(start_s)
+        want = int(count_s)
+        man = mf.read_manifest(args.dir)
+        order = sorted(range(man.num_rows), key=lambda i: (
+            man.column("partition_id")[i].as_py(),
+            man.column("stripe_id")[i].as_py()))
+        rows_m = man.take(pa.array(order, type=pa.int64()))
+        counts = _np.asarray(rows_m.column("num_rows").to_pylist())
+        starts = _np.concatenate([[0], _np.cumsum(counts)])
+        parts = []
+        for i in range(len(counts)):
+            s, e = int(starts[i]), int(starts[i + 1])
+            if e <= lo or s >= lo + want:
+                continue
+            meta = _json.loads(rows_m.column("meta_json")[i].as_py())
+            path = _os.path.join(mf.blobs_dir(args.dir),
+                                 rows_m.column("blob_path")[i].as_py())
+            sub, _ = decode_blob_rows(path, meta, max(0, lo - s),
+                                      min(e, lo + want) - max(s, lo),
+                                      columns=columns)
+            parts.append(sub)
+        table = pa.concat_tables(parts) if parts else None
+    else:
+        table = decode_table(args.dir, columns=columns)
     if table is None:
         print("empty encoded dir", file=sys.stderr)
         return 1
@@ -117,6 +152,8 @@ def main(argv=None) -> int:
     p.add_argument("--dir", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--columns", default="")
+    p.add_argument("--rows", default="",
+                   help="START:COUNT row range (seek-point partial read)")
     p.set_defaults(fn=cmd_decode)
 
     p = sub.add_parser("stats", help="manifest summary")

@@ -39,14 +39,20 @@ class PartitionSpec:
 
 
 def _scan_file(path: str, token_col: str) -> tuple[str, list[tuple[int, int, np.ndarray | None]], int]:
-    """Per row group: (rows, token_sum, per_row_counts or None)."""
+    """Per row group: (rows, token_sum, per_row_counts or None). Tables
+    without a token-count column fall back to cost=1 per row (partitioning
+    by row count — no extra read at all, just footer metadata)."""
     f = pq.ParquetFile(path)
+    has_col = token_col in f.schema_arrow.names
     out = []
     for rg in range(f.metadata.num_row_groups):
-        col = f.read_row_group(rg, columns=[token_col]).column(0)
-        vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        if has_col:
+            col = f.read_row_group(rg, columns=[token_col]).column(0)
+            vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
+        else:
+            vals = np.ones(f.metadata.row_group(rg).num_rows, dtype=np.int64)
         out.append((len(vals), int(vals.sum()), vals))
-    return path, out, f.metadata.num_rows
+    return path, out, f.metadata.num_rows, has_col
 
 
 def plan_partitions(
@@ -70,11 +76,14 @@ def plan_partitions(
             specs.append(PartitionSpec(pid, file, start, count, int(tokens)))
             pid += 1
 
-    for path, groups, _total in scans:
+    for path, groups, _total, has_col in scans:
+        # cost-1 fallback (no token column): cap partitions by row count so
+        # a token-sized target doesn't lump millions of rows into one task
+        target = target_tokens if has_col else min(target_tokens, 1_048_576)
         row = 0
         acc_start, acc_rows, acc_tok = 0, 0, 0
         for nrows, tsum, vals in groups:
-            if tsum > 1.5 * target_tokens:
+            if tsum > 1.5 * target:
                 # flush accumulator, then row-granular split of this group
                 emit(path, acc_start, acc_rows, acc_tok)
                 acc_start, acc_rows, acc_tok = row + nrows, 0, 0
@@ -82,19 +91,19 @@ def plan_partitions(
                 s = 0
                 while s < nrows:
                     base = cum[s - 1] if s else 0
-                    e = int(np.searchsorted(cum, base + target_tokens, side="right"))
+                    e = int(np.searchsorted(cum, base + target, side="right"))
                     e = min(max(e, s + 1), nrows)
                     emit(path, row + s, e - s, int(cum[e - 1] - base))
                     s = e
             else:
-                if acc_rows and acc_tok + tsum > target_tokens:
+                if acc_rows and acc_tok + tsum > target:
                     emit(path, acc_start, acc_rows, acc_tok)
                     acc_start, acc_rows, acc_tok = row, 0, 0
                 if acc_rows == 0:
                     acc_start = row
                 acc_rows += nrows
                 acc_tok += tsum
-                if acc_tok >= target_tokens:
+                if acc_tok >= target:
                     emit(path, acc_start, acc_rows, acc_tok)
                     acc_start, acc_rows, acc_tok = row + nrows, 0, 0
             row += nrows

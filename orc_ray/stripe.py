@@ -149,12 +149,24 @@ class _BlobWriter:
         self.buf += data
 
 
+def _decompress_outer(data: bytes, rec: dict, outer: str) -> bytes:
+    stream_outer = rec.get("outer", outer)
+    if rec["raw_length"] == 0:
+        return data
+    if stream_outer == "zlib":
+        return zlibchunk.decompress(data)
+    if stream_outer == "snappy":
+        # decode-only compatibility codec (compressioncodec.go:222-284;
+        # the reference cannot write snappy either, writer.go:70-87)
+        from .codecs import snappyblock
+
+        return snappyblock.decompress(data)
+    return data
+
+
 def _stream_bytes(blob: bytes, rec: dict, outer: str) -> bytes:
     data = blob[rec["offset"]: rec["offset"] + rec["length"]]
-    stream_outer = rec.get("outer", outer)
-    if stream_outer == "zlib" and rec["raw_length"] > 0:
-        data = zlibchunk.decompress(data)
-    return data
+    return _decompress_outer(data, rec, outer)
 
 
 # ---------------------------------------------------------------------------
@@ -923,9 +935,7 @@ def decode_blob_rows(src, meta: dict, row_start: int, row_count: int,
 
     def fetch_full(rec: dict) -> bytes:
         data = reader.read(rec["offset"], rec["length"])
-        if rec.get("outer", outer) == "zlib" and rec["raw_length"] > 0:
-            data = zlibchunk.decompress(data)
-        return data
+        return _decompress_outer(data, rec, outer)
 
     stride = meta.get("index_stride", 0)
     out_arrays, out_fields = [], []

@@ -205,3 +205,58 @@ def test_sketch_in_selector_state():
     assert "web/s" in summary
     assert abs(summary["web/s"]["distinct_est"] - 50) < 10
     assert summary["web/s"]["values_seen"] == 6000
+
+
+# --- snappy block decoder (decode-only, compressioncodec.go:222-284) -------
+
+def test_snappy_literal_only():
+    from orc_ray.codecs import snappyblock
+
+    payload = b"hello world"
+    # varint len + literal tag ((len-1)<<2) + bytes
+    raw = bytes([len(payload)]) + bytes([(len(payload) - 1) << 2]) + payload
+    assert snappyblock.decompress_raw(raw) == payload
+
+
+def test_snappy_copy_with_overlap():
+    from orc_ray.codecs import snappyblock
+
+    # "abcabcabcabc": literal "abc" then overlapping copy len=9 offset=3
+    # copy-1-byte-offset tag: kind 01, len 4..11 -> (len-4)<<2 | 1,
+    # offset high 3 bits in tag<<5, low byte follows
+    out = b"abc" + b"abcabcabc"
+    raw = bytes([len(out)])
+    raw += bytes([(3 - 1) << 2]) + b"abc"
+    raw += bytes([((9 - 4) << 2) | 1 | ((3 >> 8) << 5), 3 & 0xFF])
+    assert snappyblock.decompress_raw(raw) == out
+
+
+def test_snappy_two_byte_offset_and_long_literal():
+    from orc_ray.codecs import snappyblock
+
+    lit = bytes(range(256)) * 2  # 512-byte literal needs the 60+ length form
+    out = lit + lit[:64]
+    raw = bytearray()
+    n = len(out)
+    while True:  # varint
+        b = n & 0x7F
+        n >>= 7
+        raw.append(b | (0x80 if n else 0))
+        if not n:
+            break
+    raw.append((61 << 2))  # literal, 2 extra length bytes
+    raw += (len(lit) - 1).to_bytes(2, "little")
+    raw += lit
+    raw.append(((64 - 1) << 2) | 2)  # copy, 2-byte offset (max len 64)
+    raw += (512).to_bytes(2, "little")
+    assert snappyblock.decompress_raw(bytes(raw)) == out
+
+
+def test_snappy_orc_framing():
+    from orc_ray.codecs import snappyblock
+
+    payload = b"framed bytes"
+    # original (uncompressed) chunk: header (len<<1)|1
+    h = (len(payload) << 1) | 1
+    framed = bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + payload
+    assert snappyblock.decompress(framed) == payload
