@@ -86,7 +86,10 @@ def row_hashes(batch: pa.Table) -> np.ndarray:
             col.offset: col.offset + n + 1
         ].astype(np.int64)
         vals_arr = col.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
-        vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+        # native dtype flows straight into the hash: int32 sign-extends to
+        # the same uint64 terms as the old int64 widening, at half the
+        # memory traffic on the hottest stream
+        vals = vals_arr.to_numpy(zero_copy_only=False)
         h = h * _P + _poly_hash_segments(vals, offsets - offsets[0])
     for name in ("doc_id", "source"):
         if name in batch.column_names:
