@@ -75,25 +75,25 @@ def q_tokenize_stats(sf_dir: str):
             [("n_tok", "count"), ("n_tok", "sum"), ("n_tok", "min"), ("n_tok", "max")]
         )
 
-    agg = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        "source"
-    ).aggregate(
-        ray.data.aggregate.Sum("n_tok_count"),
-        ray.data.aggregate.Sum("n_tok_sum"),
-        ray.data.aggregate.Min("n_tok_min"),
-        ray.data.aggregate.Max("n_tok_max"),
-    )
+    # tree-reduce final merge in a worker task (partials are tiny: one row
+    # per (batch, source)); no driver materialization, no hash-shuffle
+    # actor spin-up
+    parts = ds.map_batches(partial, batch_format="pyarrow")
 
-    def rename(b: pa.Table) -> pa.Table:
+    def merge(b: pa.Table) -> pa.Table:
+        agg = b.group_by("source").aggregate([
+            ("n_tok_count", "sum"), ("n_tok_sum", "sum"),
+            ("n_tok_min", "min"), ("n_tok_max", "max"),
+        ])
         return pa.table({
-            "source": b.column("source"),
-            "n_docs": b.column("sum(n_tok_count)").cast(pa.int64()),
-            "sum_n_tok": b.column("sum(n_tok_sum)").cast(pa.int64()),
-            "min_n_tok": b.column("min(n_tok_min)").cast(pa.int64()),
-            "max_n_tok": b.column("max(n_tok_max)").cast(pa.int64()),
-        })
+            "source": agg.column("source"),
+            "n_docs": agg.column("n_tok_count_sum").cast(pa.int64()),
+            "sum_n_tok": agg.column("n_tok_sum_sum").cast(pa.int64()),
+            "min_n_tok": agg.column("n_tok_min_min").cast(pa.int64()),
+            "max_n_tok": agg.column("n_tok_max_max").cast(pa.int64()),
+        }).sort_by("source")
 
-    return agg.map_batches(rename, batch_format="pyarrow").sort("source")
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
 SQL_TOKENIZE_STATS = (

@@ -244,25 +244,25 @@ def q_window_agg(sf_dir: str):
             [("v1000", "count"), ("v1000", "sum")]
         )
 
-    import ray.data
+    # final merge is a tree reduce inside a worker task (repartition(1) of
+    # the already-combined partials — metadata-sized), not a driver
+    # take_all and not a hash-shuffle aggregate (whose per-op actor
+    # spin-up costs ~3s at this scale); at extreme group cardinality an
+    # intermediate repartition level slots in between
+    parts = ds.map_batches(partial, batch_format="pyarrow")
 
-    merged = ds.map_batches(partial, batch_format="pyarrow").groupby(
-        ["user_id", "window_start"]
-    ).aggregate(
-        ray.data.aggregate.Sum("v1000_count"),
-        ray.data.aggregate.Sum("v1000_sum"),
-    )
-
-    def rename(b: pa.Table) -> pa.Table:
+    def merge(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["user_id", "window_start"]).aggregate(
+            [("v1000_count", "sum"), ("v1000_sum", "sum")]
+        )
         return pa.table({
-            "user_id": b.column("user_id").cast(pa.int64()),
-            "window_start": b.column("window_start").cast(pa.timestamp("us")),
-            "n_events": b.column("sum(v1000_count)").cast(pa.int64()),
-            "sum_value_x1000": b.column("sum(v1000_sum)").cast(pa.int64()),
+            "user_id": agg.column("user_id").cast(pa.int64()),
+            "window_start": agg.column("window_start").cast(pa.timestamp("us")),
+            "n_events": agg.column("v1000_count_sum").cast(pa.int64()),
+            "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
         })
 
-    return merged.map_batches(rename, batch_format="pyarrow").sort(
-        ["user_id", "window_start"])
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
 
 
 SQL_Q_WINDOW_AGG = (
