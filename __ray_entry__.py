@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roundtrip_tokens": q.q_roundtrip_tokens,
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
+        "decode_filter": q.q_decode_filter,
         "events_roundtrip": q.q_events_roundtrip,
         "words_roundtrip": q.q_words_roundtrip,
         "map_roundtrip": q.q_map_roundtrip,
@@ -75,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
         "roundtrip_tokens": q.SQL_ROUNDTRIP_TOKENS,
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
+        "decode_filter": q.SQL_DECODE_FILTER,
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "words_roundtrip": q.SQL_WORDS_ROUNDTRIP,
         "map_roundtrip": q.SQL_MAP_ROUNDTRIP,

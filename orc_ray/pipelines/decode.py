@@ -60,6 +60,69 @@ def decode_dataset(
     )
 
 
+def _stripe_stat_range(meta_json: str, column: str):
+    """(min, max) of an int column from the stripe's manifest stats, or
+    None when the column has no recorded range."""
+    meta = json.loads(meta_json)
+    for cm in meta["columns"]:
+        if cm["name"] == column:
+            st = cm.get("stats", {})
+            if "min" in st and "max" in st:
+                return st["min"], st["max"]
+    return None
+
+
+def decode_dataset_filtered(
+    out_dir: str,
+    column: str,
+    lo,
+    hi,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Predicate-pushdown decode: rows with lo <= column <= hi. Stripes
+    whose manifest [min, max] range cannot intersect the predicate are
+    skipped WITHOUT reading their blobs (the stripe-stats analogue of
+    ORC's predicate pushdown over file/stripe statistics); surviving
+    stripes decode and filter exactly, vectorized."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from .encode import _default_concurrency
+
+    man = mf.read_manifest(out_dir)
+    keep = []
+    for i, mj in enumerate(man.column("meta_json").to_pylist()):
+        rng = _stripe_stat_range(mj, column)
+        if rng is None or (rng[1] >= lo and rng[0] <= hi):
+            keep.append(i)
+    pruned = man.take(pa.array(keep, type=pa.int64()))
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    want = None
+    if columns is not None:
+        want = list(dict.fromkeys(list(columns) + [column]))
+    ds = ray.data.from_arrow(pruned)
+
+    class _FilterDecoder(StripeDecoder):
+        def __call__(self, man_b: pa.Table):
+            for t in super().__call__(man_b):
+                mask = pc.and_(pc.greater_equal(t.column(column), lo),
+                               pc.less_equal(t.column(column), hi))
+                ft = t.filter(mask)
+                yield ft.select(columns) if columns is not None else ft
+
+    return ds.map_batches(
+        _FilterDecoder,
+        fn_constructor_kwargs={"out_dir": out_dir, "columns": want},
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+        **remote_args(),
+    )
+
+
 class StripeRangeDecoder:
     """map_batches stage for row-range reads: each manifest row arrives
     with a per-stripe (row_lo, row_cnt) sub-range; the seek-point indexes

@@ -222,6 +222,37 @@ def q_decode_projection(sf_dir: str):
 SQL_DECODE_PROJECTION = f"SELECT source, n_tok FROM {_TOKENIZED_FROM}"
 
 
+# --- q: decode_filter (predicate pushdown over stripe stats) ---------------
+
+def q_decode_filter(sf_dir: str):
+    """Predicate-pushdown decode: stripes whose manifest [min,max] n_tok
+    range can't intersect the predicate are skipped without reading their
+    blobs; survivors decode + filter exactly."""
+    from .decode import decode_dataset_filtered
+
+    out = _work_dir(sf_dir, "encoded")
+    if not os.path.isdir(mf.manifest_dir(out)):
+        encoded_dir(sf_dir, fresh=True)
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "n_tok": b.column("n_tok").cast(pa.int64()),
+        })
+
+    return decode_dataset_filtered(
+        out, "n_tok", 40, 70, columns=["doc_id", "source", "n_tok"],
+        concurrency=4,
+    ).map_batches(shape, batch_format="pyarrow")
+
+
+SQL_DECODE_FILTER = (
+    f"SELECT doc_id, source, n_tok FROM {_TOKENIZED_FROM} "
+    "WHERE n_tok BETWEEN 40 AND 70"
+)
+
+
 # --- q: events_roundtrip ---------------------------------------------------
 
 def q_events_roundtrip(sf_dir: str):

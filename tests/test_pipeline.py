@@ -155,3 +155,50 @@ def test_manifest_summary_reports_codecs(ray_session, token_shards, tmp_path):
     hist = summary["stream_bytes_by_codec"]
     assert any(k.startswith("tokens:DATA:") for k in hist)
     assert any(k.startswith("source:DATA:") for k in hist)
+
+
+def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
+    """decode_dataset_filtered skips stripes whose stats exclude the
+    predicate (n_tok sorted -> disjoint stripe ranges -> real pruning)."""
+    import json
+
+    import ray.data
+
+    from orc_ray.pipelines.decode import (
+        _stripe_stat_range,
+        decode_dataset_filtered,
+    )
+
+    n = 20_000
+    lens = np.sort(np.random.default_rng(5).integers(1, 200, n)).astype(np.int32)
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    vals = np.random.default_rng(6).integers(0, 50257, int(off[-1])).astype(np.int32)
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "tokens": pa.ListArray.from_arrays(
+            pa.array(off.astype(np.int32), type=pa.int32()),
+            pa.array(vals, type=pa.int32())),
+        "n_tok": pa.array(lens, type=pa.int32()),
+        "source": pa.array(["s"] * n),
+    })
+    out = str(tmp_path / "enc")
+    cfg = EncoderConfig(stripe_target_tokens=100_000)
+    encode_dataset_streaming(ray.data.from_arrow(t), out, cfg,
+                             batch_rows=5_000, concurrency=2).materialize()
+    man = mf.read_manifest(out)
+    lo, hi = 150, 180
+    kept = sum(
+        1 for mj in man.column("meta_json").to_pylist()
+        if (r := _stripe_stat_range(mj, "n_tok")) is None
+        or (r[1] >= lo and r[0] <= hi)
+    )
+    assert kept < man.num_rows, "sorted input must allow stripe pruning"
+    ds = decode_dataset_filtered(out, "n_tok", lo, hi,
+                                 columns=["doc_id", "n_tok"], concurrency=2)
+    got = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow", batch_size=None)))
+    exp_mask = (lens >= lo) & (lens <= hi)
+    assert got.num_rows == int(exp_mask.sum())
+    assert sorted(got.column("doc_id").to_pylist()) == \
+        list(np.flatnonzero(exp_mask))
