@@ -52,32 +52,19 @@ def cmd_decode(args) -> int:
         import json as _json
         import os as _os
 
-        import numpy as _np
         import pyarrow as pa
 
+        from .pipelines.decode import plan_row_ranges
         from .state import manifest as mf
         from .stripe import decode_blob_rows
 
         start_s, count_s = args.rows.split(":")
-        lo = int(start_s)
-        want = int(count_s)
         man = mf.read_manifest(args.dir)
-        order = sorted(range(man.num_rows), key=lambda i: (
-            man.column("partition_id")[i].as_py(),
-            man.column("stripe_id")[i].as_py()))
-        rows_m = man.take(pa.array(order, type=pa.int64()))
-        counts = _np.asarray(rows_m.column("num_rows").to_pylist())
-        starts = _np.concatenate([[0], _np.cumsum(counts)])
         parts = []
-        for i in range(len(counts)):
-            s, e = int(starts[i]), int(starts[i + 1])
-            if e <= lo or s >= lo + want:
-                continue
-            meta = _json.loads(rows_m.column("meta_json")[i].as_py())
-            path = _os.path.join(mf.blobs_dir(args.dir),
-                                 rows_m.column("blob_path")[i].as_py())
-            sub, _ = decode_blob_rows(path, meta, max(0, lo - s),
-                                      min(e, lo + want) - max(s, lo),
+        for p in plan_row_ranges(man, int(start_s), int(count_s)):
+            meta = _json.loads(p["meta_json"])
+            path = _os.path.join(mf.blobs_dir(args.dir), p["blob_path"])
+            sub, _ = decode_blob_rows(path, meta, p["row_lo"], p["row_cnt"],
                                       columns=columns)
             parts.append(sub)
         table = pa.concat_tables(parts) if parts else None

@@ -22,8 +22,10 @@ nothing text-amplified, no driver-side compute.
 
 Scale notes: candidate/pair tables are metadata-sized; the only wide ops
 are the fixed-partition bucket groupbys and the sketch hash-join. Skewed
-buckets (giant runs of one band key) are processed vectorized, not
-row-looped, and capped only far above any real dup-cluster size.
+buckets (giant runs of one band key) are processed vectorized with bounded
+block temporaries; only degenerate runs (identical clusters larger than
+MAX_RUN for minhash, 16x that for simhash — where the pair OUTPUT itself
+is quadratically huge) are dropped, far above any real dup-cluster size.
 """
 
 from __future__ import annotations
@@ -428,10 +430,12 @@ def simhash_chunk_rows(batch: pa.Table) -> pa.Table:
 
 
 def _run_hamming_pairs(ids, sims, max_hamming):
-    """All pairs within one chunk run at hamming <= k, block-vectorized."""
+    """All pairs within one chunk run at hamming <= k, block-vectorized.
+    Block size shrinks for huge runs so the xor/popcount temporaries stay
+    ~100 MB even on degenerate inputs."""
     m = len(ids)
     aa, bb, hh = [], [], []
-    BLOCK = 1024
+    BLOCK = max(64, min(1024, (12 << 20) // max(m, 1)))
     for s0 in range(0, m, BLOCK):
         lhs = sims[s0: s0 + BLOCK]
         x = lhs[:, None] ^ sims[None, :]
@@ -463,10 +467,11 @@ def partition_simhash_pairs(group: pa.Table, max_hamming: int = 3) -> pa.Table:
     ends = np.concatenate([bounds, [len(k)]])
     aa, bb, hh = [], [], []
     for s0, e0 in zip(starts, ends):
-        if e0 - s0 < 2:
+        if e0 - s0 < 2 or e0 - s0 > MAX_RUN * 16:
+            # degenerate-input guard only (a >65536-doc identical cluster):
+            # the pair OUTPUT itself is quadratic there, so no algorithm
+            # emits it cheaply; real dup clusters are orders smaller
             continue
-        # drop duplicate doc rows inside a run (same doc can land in a run
-        # once per chunk only, but identical docs repeat)
         pa_, pb_, ph_ = _run_hamming_pairs(d[s0:e0], s[s0:e0], max_hamming)
         if len(pa_):
             aa.append(pa_)
@@ -597,9 +602,19 @@ class BlockPairScorer:
             li, rj = np.nonzero(sims >= self.threshold)
             a = ii[li]
             b = jj[rj]
-            keep = a < b
-            aa.append(a[keep])
-            bb.append(b[keep])
+            if bi == bj:
+                # both orders present in the square tile: keep one
+                keep = a < b
+                aa.append(a[keep])
+                bb.append(b[keep])
+            else:
+                # a cross tile sees each unordered pair exactly once;
+                # normalize (ids need not be ascending in block order)
+                lo_ = np.minimum(a, b)
+                hi_ = np.maximum(a, b)
+                keep = lo_ != hi_
+                aa.append(lo_[keep])
+                bb.append(hi_[keep])
         if not aa:
             return pa.table({"vec_a": pa.array([], type=pa.int64()),
                              "vec_b": pa.array([], type=pa.int64())})

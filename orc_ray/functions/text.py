@@ -31,12 +31,20 @@ class TokenCounter:
     non-ASCII fallback inside the kernel."""
 
     def __init__(self, pattern: str = TOKEN_RE.pattern):
-        self.re = re.compile(pattern)  # kept for parity checks/fallback
+        self.custom = pattern != TOKEN_RE.pattern
+        self.re = re.compile(pattern)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         from .texthash import bpe_token_counts
 
-        counts = bpe_token_counts(batch.column("text"))
+        if self.custom:
+            # arbitrary pattern: the byte-class kernel only models the
+            # default tokenizer, so honor the contract with the regex
+            texts = batch.column("text").to_pylist()
+            counts = np.array([len(self.re.findall(t)) for t in texts],
+                              dtype=np.int64)
+        else:
+            counts = bpe_token_counts(batch.column("text"))
         ws = pc.count_substring(batch.column("text"), " ")
         return pa.table({
             "doc_id": batch.column("doc_id").cast(pa.int64()),

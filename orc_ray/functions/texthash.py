@@ -78,13 +78,19 @@ def word_hashes64(flat: pa.Array) -> np.ndarray:
     return string_hashes64(flat)
 
 
+HASH_MAX_WORD = 256  # positions beyond this are ignored on BOTH sides
+
+
 def word_hashes31(flat: pa.Array) -> np.ndarray:
     """SQL-mirrorable 31-bit polynomial hash per word:
-    h(w) = sum_i (byte_i + 7) * 131^i  mod (2^31 - 1).
+    h(w) = sum_{i < 256} (byte_i + 7) * 131^i  mod (2^31 - 1).
 
-    Bytewise, which equals the DuckDB mirror's codepoint-wise ``ord()``
-    only for ASCII text (the sandbox corpus is ASCII; the oracle compare
-    would surface any drift)."""
+    Only the first HASH_MAX_WORD bytes contribute — exactly matching the
+    SQL mirror, whose power-table CTE (sql_pows_cte) covers positions
+    0..255 and whose inner join drops later positions. Bytewise, which
+    equals the DuckDB mirror's codepoint-wise ``ord()`` only for ASCII
+    text (the sandbox corpus is ASCII; the oracle compare would surface
+    any drift)."""
     blob, lengths = _string_bytes(flat)
     n = len(lengths)
     if len(blob) == 0:
@@ -92,9 +98,11 @@ def word_hashes31(flat: pa.Array) -> np.ndarray:
     off = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(lengths, out=off[1:])
     pos = np.arange(len(blob), dtype=np.int64) - np.repeat(off[:-1], lengths)
-    pows = _pow131(int(lengths.max()))
-    # (byte+7) < 2^9, pow < 2^31, word len < 2^21 -> sum < 2^61: no overflow
-    terms = (blob.astype(np.uint64) + _U64(7)) * pows[pos]
+    pows = _pow131(min(int(lengths.max()), HASH_MAX_WORD))
+    # (byte+7) < 2^9, pow < 2^31, word len <= 256 -> sum < 2^48: no overflow
+    inb = pos < HASH_MAX_WORD
+    terms = np.zeros(len(blob), dtype=np.uint64)
+    terms[inb] = (blob[inb].astype(np.uint64) + _U64(7)) * pows[pos[inb]]
     out = np.zeros(n, dtype=np.uint64)
     nz = lengths > 0
     if nz.any():
@@ -111,8 +119,11 @@ def mix64(h31: np.ndarray) -> np.ndarray:
 
 # --- SQL fragment builders (DuckDB oracle mirrors) -------------------------
 
-def sql_pows_cte(max_len: int = 256) -> str:
-    """CTE rows (i, 131^i mod 2^31-1) for word positions 0..max_len-1."""
+def sql_pows_cte(max_len: int = HASH_MAX_WORD) -> str:
+    """CTE rows (i, 131^i mod 2^31-1) for word positions 0..max_len-1.
+    The inner join against this table truncates words at max_len
+    positions — word_hashes31 applies the identical truncation, so the
+    two sides agree on arbitrarily long tokens."""
     vals = ", ".join(f"({i}, {pow(131, i, P31)})" for i in range(max_len))
     return f"pows(i, p) AS (VALUES {vals})"
 

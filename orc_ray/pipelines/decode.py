@@ -144,24 +144,11 @@ class StripeRangeDecoder:
             yield table
 
 
-def read_rows(
-    out_dir: str,
-    row_start: int,
-    row_count: int,
-    columns: list[str] | None = None,
-    concurrency: int | tuple[int, int] | None = None,
-):
-    """Decode only global rows [row_start, row_start+row_count) of an
-    encoded dataset (rows in manifest order: partition_id, stripe_id).
-    The manifest maps the range to (stripe, intra-stripe range) pairs and
-    the seek-point indexes (T5) keep reads to the covering byte ranges —
-    the cursor.go:179-198 partial-stripe read, distributed."""
+def plan_row_ranges(man: pa.Table, row_start: int, row_count: int) -> list[dict]:
+    """Map a global row range onto per-stripe sub-ranges (rows in manifest
+    order: partition_id, stripe_id). Shared by read_rows and the CLI."""
     import numpy as np
-    import ray.data
 
-    from .encode import _default_concurrency
-
-    man = mf.read_manifest(out_dir)
     order = sorted(range(man.num_rows), key=lambda i: (
         man.column("partition_id")[i].as_py(), man.column("stripe_id")[i].as_py()))
     rows = man.take(pa.array(order, type=pa.int64()))
@@ -180,6 +167,27 @@ def read_rows(
             "row_lo": max(0, lo - s),
             "row_cnt": min(e, hi) - max(s, lo),
         })
+    return picked
+
+
+def read_rows(
+    out_dir: str,
+    row_start: int,
+    row_count: int,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Decode only global rows [row_start, row_start+row_count) of an
+    encoded dataset. The manifest maps the range to (stripe, intra-stripe
+    range) pairs and the seek-point indexes (T5) keep reads to the
+    covering byte ranges — the cursor.go:179-198 partial-stripe read,
+    distributed."""
+    import ray.data
+
+    from .encode import _default_concurrency
+
+    man = mf.read_manifest(out_dir)
+    picked = plan_row_ranges(man, row_start, row_count)
     if not picked:
         return None
     if concurrency is None:

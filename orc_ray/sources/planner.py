@@ -38,10 +38,13 @@ class PartitionSpec:
         }
 
 
-def _scan_file(path: str, token_col: str) -> tuple[str, list[tuple[int, int, np.ndarray | None]], int]:
-    """Per row group: (rows, token_sum, per_row_counts or None). Tables
-    without a token-count column fall back to cost=1 per row (partitioning
-    by row count — no extra read at all, just footer metadata)."""
+def _scan_file(
+    path: str, token_col: str
+) -> tuple[str, list[tuple[int, int, np.ndarray]], int, bool]:
+    """(path, per-row-group (rows, token_sum, per_row_counts), num_rows,
+    has_token_col). Tables without a token-count column fall back to
+    cost=1 per row (partitioning by row count — no extra read at all,
+    just footer metadata)."""
     f = pq.ParquetFile(path)
     has_col = token_col in f.schema_arrow.names
     out = []

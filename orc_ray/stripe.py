@@ -107,12 +107,16 @@ class _BlobWriter:
         # before each entry so a range decode can re-base its cumsum
         seekable = False
         if (self.stride and raw_len >= self.MIN_INDEX_BYTES
-                and codec in ("rle2", "rle2_delta")):
+                and (codec == "rle2"
+                     or (codec == "rle2_delta" and index_values is not None))):
+            # delta streams only get an index when the caller provides the
+            # original values (the re-base prefixes); recording vindex
+            # without vprefix would invite silently-wrong range decodes
             entries = rle2.run_index(data, self.stride)
             if len(entries) > 1:
                 rec["vindex"] = [[int(v), int(b)] for v, b in entries]
                 seekable = True
-                if codec == "rle2_delta" and index_values is not None:
+                if codec == "rle2_delta":
                     rec["vprefix"] = [
                         int(index_values[v - 1]) if v > 0 else 0
                         for v, _ in entries
@@ -377,11 +381,12 @@ def _encode_column(
     if pa.types.is_map(t):
         return _encode_map_column(name, arr, valid, w, config, selector, group, meta)
 
-    if pa.types.is_decimal(t):
+    if pa.types.is_decimal128(t):
         # C20 (decimal): the reference only READS decimals (its writer has
         # no decimal case, treewriterfactory.go:13-104); here both
         # directions work. decimal128 splits into lo/hi int64 halves — hi
         # is almost always a sign-extension and RLEs to nothing.
+        # (decimal256 falls through to the explicit unsupported error.)
         vals = arr
         if valid is not None:
             vals = arr.drop_null()
@@ -819,10 +824,7 @@ def _scatter_typed(dense: pa.Array, valid: np.ndarray, t, vals: np.ndarray) -> p
 
 def _scatter_strings(dense: pa.Array, valid: np.ndarray, t) -> pa.Array:
     """Re-insert nulls into a dense string/binary array."""
-    n = len(valid)
-    idx = np.full(n, -1, dtype=np.int64)
-    idx[valid] = np.arange(len(dense), dtype=np.int64)
-    taken = dense.take(pa.array(idx, type=pa.int64(), mask=~valid))
+    taken = _scatter_generic(dense, valid)
     return taken.cast(t) if taken.type != t else taken
 
 
@@ -878,6 +880,8 @@ def _int_range(reader: RangeReader, rec: dict, lo: int, hi: int,
 
     vindex = rec.get("vindex")
     codec = rec["codec"]
+    if codec == "rle2_delta" and vindex is not None and "vprefix" not in rec:
+        vindex = None  # no re-base prefixes: fall back to full decode
     if codec == "for" and (rec.get("outer", "none") != "zlib"
                            or "chunk_offsets" in rec):
         # fixed-width packing: the byte range of [lo, hi) is pure math
@@ -911,7 +915,7 @@ def _int_range(reader: RangeReader, rec: dict, lo: int, hi: int,
         return vals[lo - run_v: need]
     # rle2_delta: re-base the cumsum at the entry's running value
     deltas = rle2.decode(data, True, need)
-    prefix = rec.get("vprefix", [0] * len(vindex))[i]
+    prefix = rec["vprefix"][i]
     vals = np.cumsum(deltas, dtype=np.int64) + np.int64(prefix)
     return vals[lo - run_v: need]
 

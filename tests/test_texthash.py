@@ -200,3 +200,50 @@ def test_embedding_neardup_ivf_recall(ray_session):
     assert ap <= exact  # within-bucket verification is exact
     recall = len(ap & exact) / len(exact) if exact else 1.0
     assert recall >= 0.5, f"IVF near-dup recall {recall}"
+
+
+def test_embedding_neardup_ds_descending_ids(ray_session):
+    """Regression (round-2 review): cross-block pairs must survive when
+    vec_ids are not ascending in block order."""
+    import ray.data
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(40, 16)).astype(np.float32)
+    emb[36] = emb[4] + 1e-6
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40)[::-1], type=pa.int64()),
+        "embedding": pa.array([list(map(float, r)) for r in emb],
+                              type=pa.list_(pa.float32())),
+    })
+    local = dedup.embedding_near_pairs(t, threshold=0.99)
+    dist = dedup.embedding_near_pairs_ds(ray.data.from_arrow(t),
+                                         threshold=0.99, nblocks=4,
+                                         concurrency=2)
+    got = pa.concat_tables(
+        list(dist.iter_batches(batch_format="pyarrow", batch_size=None)))
+    key = lambda tb: sorted(zip(tb.column("vec_a").to_pylist(),
+                                tb.column("vec_b").to_pylist()))
+    assert key(got) == key(local)
+    assert len(key(got)) >= 1
+
+
+def test_long_word_hash_truncation_matches_sql():
+    """Words longer than HASH_MAX_WORD hash identically on both sides
+    (Python truncates; the SQL power-table join drops late positions)."""
+    import duckdb
+
+    # two docs whose single word differs ONLY beyond position 256: with
+    # consistent truncation both sides see identical signatures (hamming
+    # 0 -> pair found by both); without it the Python side would hash the
+    # tails, produce different signatures, and the compare would diverge
+    prefix = "x" * th.HASH_MAX_WORD
+    texts = [f"{prefix}AAAA", f"{prefix}BBBB"]
+    t = pa.table({"doc_id": pa.array([1, 2], type=pa.int64()),
+                  "text": pa.array(texts)})
+    con = duckdb.connect()
+    con.register("documents", t)
+    oracle = con.sql(dedup.sql_simhash_pairs(3)).arrow()
+    sigs = dedup.simhash_batch(t)
+    mine = dedup.simhash_near_pairs(sigs, max_hamming=3)
+    assert mine.to_pylist() == oracle.to_pylist()
+    assert mine.num_rows == 1 and mine.column("hamming")[0].as_py() == 0
