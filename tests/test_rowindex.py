@@ -110,3 +110,30 @@ def test_pipeline_read_rows(ray_session, tmp_path):
         for r in exp:
             assert by_id[r["doc_id"]]["tokens"] == r["tokens"]
             assert by_id[r["doc_id"]]["n_tok"] == r["n_tok"]
+
+
+def test_range_decode_fallback_types():
+    """Columns without fast range paths (nulls, structs, decimals, bools)
+    still range-decode correctly via the full-stream fallback."""
+    import decimal as D
+
+    n = 5000
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "i": pa.array([None if k % 7 == 0 else k for k in range(n)],
+                      type=pa.int64()),
+        "st": pa.array([{"a": k, "b": f"s{k % 5}"} for k in range(n)],
+                       type=pa.struct([("a", pa.int64()), ("b", pa.string())])),
+        "d": pa.array([D.Decimal(k) / 100 for k in range(n)],
+                      type=pa.decimal128(20, 2)),
+        "bl": pa.array((rng.integers(0, 2, n) == 1).tolist(), type=pa.bool_()),
+        "f": pa.array(rng.random(n), type=pa.float64()),
+    })
+    cfg = EncoderConfig(stripe_target_tokens=10**9, row_index_stride=500)
+    blob, meta = encode_table(t, cfg)
+    for (r0, cnt) in [(1234, 700), (0, 10), (4990, 10)]:
+        sub, _ = decode_blob_rows(bytes(blob), meta, r0, cnt)
+        exp = t.slice(r0, cnt)
+        for c in t.column_names:
+            assert exp.column(c).combine_chunks().to_pylist() == \
+                sub.column(c).combine_chunks().to_pylist(), (c, r0)
