@@ -204,8 +204,9 @@ def main() -> None:
     ap.add_argument("--scaling-rows", type=int, default=0,
                     help="optional corpus-rows override for --scaling")
     ap.add_argument("--scaling-repeats", type=int, default=3,
-                    help="fresh-process runs per cpu count; best throughput "
-                    "is reported (this VM's timing noise is +-30%%)")
+                    help="fresh-process runs per cpu count; the MEDIAN paired "
+                    "efficiency is the headline, best + all samples disclosed "
+                    "(this VM's timing noise is +-30%%)")
     ap.add_argument("--json-out", default="")
     args = ap.parse_args()
 
@@ -234,6 +235,12 @@ def main() -> None:
             pair_effs.append(
                 (samples[hi][-1] / samples[lo][-1]) / (hi / lo))
         best_pair = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
+        # headline "value" is the MEDIAN paired efficiency, not the best —
+        # a best-of-N headline systematically inflates on this noisy host;
+        # the best pair + full distribution stay disclosed as extra fields
+        med_eff = sorted(pair_effs)[len(pair_effs) // 2]
+        med_pair = min(range(len(pair_effs)),
+                       key=lambda i: abs(pair_effs[i] - med_eff))
         # hardware control: per-core memcpy capacity at the same two
         # concurrency levels — the single-box ceiling for any
         # bandwidth-touching workload (4N real nodes have 4N buses)
@@ -242,19 +249,21 @@ def main() -> None:
         bus_ceiling = bw_hi / bw_lo  # per-core capacity retained at hi-way
         line = {
             "metric": "encode_scaling_efficiency",
-            "value": round(pair_effs[best_pair], 4),
+            "value": round(med_eff, 4),
+            "value_best": round(pair_effs[best_pair], 4),
             "unit": "ratio", "sf": sf_name(args.sf_dir),
-            "throughput_gbps": {str(lo): samples[lo][best_pair],
-                                str(hi): samples[hi][best_pair]},
+            "throughput_gbps": {str(lo): samples[lo][med_pair],
+                                str(hi): samples[hi][med_pair]},
             "pair_efficiencies": [round(e, 4) for e in pair_effs],
             "throughput_samples_gbps": {str(c): samples[c] for c in (lo, hi)},
             "memcpy_gbps_per_proc": {str(lo): round(bw_lo, 2),
                                      str(hi): round(bw_hi, 2)},
             "bus_ceiling_ratio": round(bus_ceiling, 4),
-            "value_bus_normalized": round(
+            "value_bus_normalized": round(med_eff / bus_ceiling, 4),
+            "value_best_bus_normalized": round(
                 pair_effs[best_pair] / bus_ceiling, 4),
-            "queries": {f"encode_cpus{lo}": times[lo][best_pair],
-                        f"encode_cpus{hi}": times[hi][best_pair]},
+            "queries": {f"encode_cpus{lo}": times[lo][med_pair],
+                        f"encode_cpus{hi}": times[hi][med_pair]},
             "num_cpus": hi,
         }
         print(json.dumps(line))

@@ -50,9 +50,13 @@ def env_vars() -> dict[str, str]:
     if _mode() == "hugetlb":
         return {"GLIBC_TUNABLES": os.environ.get("GLIBC_TUNABLES",
                                                  _OLD_TUNABLE)}
-    # neutralize an inherited hugetlb tunable in ray workers
-    if "hugetlb" in os.environ.get("GLIBC_TUNABLES", ""):
-        return {"GLIBC_TUNABLES": ""}
+    # neutralize an inherited hugetlb tunable in ray workers — but keep any
+    # unrelated user-set entries in the colon-separated list (mirroring
+    # ensure_env()'s exact-match deletion)
+    cur = os.environ.get("GLIBC_TUNABLES", "")
+    if "hugetlb" in cur:
+        kept = [e for e in cur.split(":") if e and "hugetlb" not in e]
+        return {"GLIBC_TUNABLES": ":".join(kept)}
     return {}
 
 

@@ -16,6 +16,12 @@ import numpy as np
 import pyarrow as pa
 
 
+def _round_half_away(x: float) -> int:
+    """Match DuckDB round(): ties go away from zero (np.floor(x+0.5) would
+    round -12.5 to -12 instead of -13)."""
+    return int(np.copysign(np.floor(abs(x) + 0.5), x))
+
+
 def _emb_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     col = batch.column("embedding")
     if isinstance(col, pa.ChunkedArray):
@@ -92,7 +98,7 @@ def brute_force_topk(ds, query_table: pa.Table, k: int = 10) -> pa.Table:
                 "query_id": int(q),
                 "vec_id": int(vs[m][idx]),
                 "rank": rank,
-                "cosine_x1e4": int(np.floor(cs[m][idx] * 1e4 + 0.5)),
+                "cosine_x1e4": _round_half_away(cs[m][idx] * 1e4),
             })
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("query_id", pa.int64()), ("vec_id", pa.int64()),
@@ -213,7 +219,7 @@ def ivf_topk(ds, query_table: pa.Table, k: int = 10, ncentroids: int = 16,
                     "query_id": int(q),
                     "vec_id": int(vs[m][idx]),
                     "rank": rank,
-                    "cosine_x1e4": int(np.floor(cs[m][idx] * 1e4 + 0.5)),
+                    "cosine_x1e4": _round_half_away(cs[m][idx] * 1e4),
                 })
     return pa.Table.from_pylist(rows, schema=pa.schema([
         ("query_id", pa.int64()), ("vec_id", pa.int64()),

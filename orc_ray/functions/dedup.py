@@ -55,6 +55,23 @@ N_PARTS = 64
 # degenerate constant column, not a dup cluster; far above test-scale sizes
 MAX_RUN = 4096
 
+
+def _skip_run(kind: str, size: int, limit: int) -> None:
+    """A run above the skew guard is never dropped silently: warn (visible
+    in Ray worker logs) and count, so output divergence from the exact
+    pair set is diagnosable. Tests read _SKIPPED_RUNS."""
+    import warnings
+
+    _SKIPPED_RUNS.append((kind, size))
+    warnings.warn(
+        f"{kind}: skipping degenerate bucket run of {size} docs "
+        f"(> {limit}); its pairs are omitted from the output",
+        RuntimeWarning, stacklevel=3,
+    )
+
+
+_SKIPPED_RUNS: list[tuple[str, int]] = []
+
 _rng = np.random.default_rng(12345)
 _A = (_rng.integers(1, _MERSENNE, NUM_HASHES, dtype=np.int64)).astype(np.uint64)
 _B = (_rng.integers(0, _MERSENNE, NUM_HASHES, dtype=np.int64)).astype(np.uint64)
@@ -212,7 +229,10 @@ def partition_candidates(group: pa.Table) -> pa.Table:
     ends = np.concatenate([bounds, [len(b)]])
     aa, bb = [], []
     for s, e in zip(starts, ends):
-        if e - s < 2 or e - s > MAX_RUN:
+        if e - s < 2:
+            continue
+        if e - s > MAX_RUN:
+            _skip_run("minhash-lsh", int(e - s), MAX_RUN)
             continue
         pa_, pb_ = _emit_run_pairs(d[s:e])
         if len(pa_):
@@ -467,10 +487,13 @@ def partition_simhash_pairs(group: pa.Table, max_hamming: int = 3) -> pa.Table:
     ends = np.concatenate([bounds, [len(k)]])
     aa, bb, hh = [], [], []
     for s0, e0 in zip(starts, ends):
-        if e0 - s0 < 2 or e0 - s0 > MAX_RUN * 16:
+        if e0 - s0 < 2:
+            continue
+        if e0 - s0 > MAX_RUN * 16:
             # degenerate-input guard only (a >65536-doc identical cluster):
             # the pair OUTPUT itself is quadratic there, so no algorithm
             # emits it cheaply; real dup clusters are orders smaller
+            _skip_run("simhash", int(e0 - s0), MAX_RUN * 16)
             continue
         pa_, pb_, ph_ = _run_hamming_pairs(d[s0:e0], s[s0:e0], max_hamming)
         if len(pa_):

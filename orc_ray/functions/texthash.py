@@ -168,12 +168,13 @@ def shingle_sets(texts, k: int = 3) -> tuple[np.ndarray, np.ndarray]:
     total = int(woff[-1])
     if total < k:
         return np.empty(0, np.uint64), np.zeros(ndocs + 1, np.int64)
-    # sliding-window polynomial combination (uint64 wraparound)
-    C = _U64(0x100000001B3)
-    C2 = _U64((0x100000001B3 * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF)
-    s = wh[: total - k + 1] * C2
-    s += wh[1: total - k + 2] * C
-    s += wh[2: total - k + 3]
+    # sliding-window polynomial combination over k terms (uint64 wraparound):
+    # s(p) = sum_i wh[p+i] * C^(k-1-i)
+    C = 0x100000001B3
+    nwin = total - k + 1
+    s = np.zeros(nwin, dtype=np.uint64)
+    for i in range(k):
+        s = s * _U64(C) + wh[i: nwin + i]
     # a window starting at p belongs to doc d and is valid iff it does not
     # cross the doc boundary: p <= woff[d+1] - k
     starts = s.shape[0]

@@ -344,7 +344,11 @@ def q_map_roundtrip(sf_dir: str):
 
     def add_map(b: pa.Table) -> pa.Table:
         n = b.num_rows
-        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0)),
+        # half_towards_infinity == DuckDB round()'s half-away-from-zero;
+        # Arrow's default half-to-even would silently diverge on ties
+        # (e.g. 0.0125*1000.0 == 12.5 exactly)
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         offsets = pa.array(np.arange(n + 1, dtype=np.int32), type=pa.int32())
         m = pa.MapArray.from_arrays(offsets, b.column("event_type").combine_chunks()

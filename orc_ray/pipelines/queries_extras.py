@@ -233,7 +233,10 @@ def q_window_agg(sf_dir: str):
         import pyarrow.compute as pc
 
         hour = pc.floor_temporal(b.column("ts"), unit="hour")
-        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0)),
+        # half_towards_infinity matches DuckDB round() on ties (the SQL
+        # mirror); Arrow's default is half-to-even
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0),
+                                 round_mode="half_towards_infinity"),
                         pa.int64())
         t = pa.table({
             "user_id": b.column("user_id"),
