@@ -6,10 +6,12 @@ nothing text-amplified, no driver-side compute.
 - minhash:    3-word shingles -> 128 minhashes -> 32 bands x 4 rows -> LSH.
               The shuffle carries ONLY (doc_id, bucket) rows (16 bytes each
               — never the text); candidate pairs are generated vectorized
-              inside a fixed number of hash partitions; pair dedup is a
-              distributed group-by; exact-Jaccard verification joins the
-              candidate pairs against the (doc_id, shingle-set) sketch
-              table with Ray Data's hash join. Output equals the exact
+              inside a fixed number of hash partitions. Default verify:
+              the metadata-sized candidate set dedupes on the driver, its
+              sketches are recomputed for just those docs, broadcast once,
+              and verified vectorized; verify="join" keeps everything
+              distributed (fixed-partition pair dedup + two Ray hash joins
+              against the sketch table). Output equals the exact
               >= threshold pair set (band-miss probability < 1e-7 at 0.8).
 - simhash:    64-bit simhash over a SQL-mirrorable word hash
               (texthash.word_hashes31 + mix64) -> 4x16-bit chunk banding
@@ -152,19 +154,7 @@ def _signatures_from_sets(sv: np.ndarray, off: np.ndarray) -> np.ndarray:
 def _sketch_arrays(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """Inverse of shingle_sketch_batch: flat uint64 shingles + offsets,
     zero-copy from the binary column's buffers."""
-    col = batch.column("shingles")
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    bufs = col.buffers()
-    byte_off = np.frombuffer(bufs[1], dtype=np.int32)[
-        col.offset: col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = (np.frombuffer(bufs[2], dtype=np.uint8)
-            if bufs[2] is not None else np.empty(0, np.uint8))
-    blob = data[byte_off[0]: byte_off[-1]]
-    sv = np.frombuffer(np.ascontiguousarray(blob), dtype=np.uint64)
-    off = (byte_off - byte_off[0]) // 8
-    return sv, off
+    return _binary_sets(batch.column("shingles"))
 
 
 def band_rows_batch(batch: pa.Table, k: int = 3) -> pa.Table:
@@ -254,70 +244,142 @@ def _first_row(group: pa.Table) -> pa.Table:
     return group.slice(0, 1)
 
 
-# --- stage 3: exact-Jaccard verification (join against sketches) -----------
+# --- stage 3: exact-Jaccard verification -----------------------------------
+
+def _gather_segments(flat: np.ndarray, off: np.ndarray,
+                     idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Rows ``idx`` of a ragged (flat values, offsets) set table -> new
+    (flat, offsets), fully vectorized (repeat + position arithmetic)."""
+    idx = np.asarray(idx, dtype=np.int64)
+    lens = off[idx + 1] - off[idx]
+    out_off = np.zeros(len(idx) + 1, dtype=np.int64)
+    np.cumsum(lens, out=out_off[1:])
+    total = int(out_off[-1])
+    pos = (np.arange(total, dtype=np.int64)
+           - np.repeat(out_off[:-1], lens)
+           + np.repeat(off[idx], lens))
+    return flat[pos], out_off
+
+
+def _pair_intersections(sv_a, off_a, sv_b, off_b):
+    """Per-pair intersection sizes of sorted-unique uint64 sets, vectorized
+    across ALL pairs at once: tag every value with its pair index, one
+    lexsort, count adjacent equal values within a pair (duplicates can only
+    be cross-side because each side is unique). Returns (inter, union,
+    jaccard_x1000) int64 arrays."""
+    npairs = len(off_a) - 1
+    la = np.diff(off_a)
+    lb = np.diff(off_b)
+    pid = np.concatenate([
+        np.repeat(np.arange(npairs, dtype=np.int64), la),
+        np.repeat(np.arange(npairs, dtype=np.int64), lb),
+    ])
+    vals = np.concatenate([sv_a, sv_b])
+    order = np.lexsort((vals, pid))
+    pid = pid[order]
+    vals = vals[order]
+    dup = (pid[1:] == pid[:-1]) & (vals[1:] == vals[:-1])
+    inter = np.bincount(pid[1:][dup], minlength=npairs).astype(np.int64)
+    union = la + lb - inter
+    jac = np.zeros(npairs, dtype=np.int64)
+    nz = union > 0
+    jac[nz] = inter[nz] * 1000 // union[nz]
+    return inter, union, jac
+
+
+def _binary_sets(col) -> tuple[np.ndarray, np.ndarray]:
+    """Zero-copy (flat uint64 values, offsets) view of a binary column of
+    packed little-endian uint64 sets."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    bufs = col.buffers()
+    byte_off = np.frombuffer(bufs[1], dtype=np.int32)[
+        col.offset: col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = (np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None else np.empty(0, np.uint8))
+    blob = data[byte_off[0]: byte_off[-1]]
+    sv = np.frombuffer(np.ascontiguousarray(blob), dtype=np.uint64)
+    return sv, (byte_off - byte_off[0]) // 8
+
 
 def verify_pairs_batch(batch: pa.Table, threshold: float = 0.8) -> pa.Table:
     """(doc_a, doc_b, sh_a, sh_b) rows -> verified pairs with exact
-    integer-math Jaccard (mirrors the SQL oracle)."""
+    integer-math Jaccard (mirrors the SQL oracle); batch-vectorized, no
+    per-row Arrow decode."""
     thr_x1000 = int(round(threshold * 1000))
-    col_a = batch.column("sh_a")
-    col_b = batch.column("sh_b")
-    if isinstance(col_a, pa.ChunkedArray):
-        col_a = col_a.combine_chunks()
-    if isinstance(col_b, pa.ChunkedArray):
-        col_b = col_b.combine_chunks()
+    sv_a, off_a = _binary_sets(batch.column("sh_a"))
+    sv_b, off_b = _binary_sets(batch.column("sh_b"))
     da = batch.column("doc_a").to_numpy(zero_copy_only=False)
     db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-    aa, bb, jj = [], [], []
-    for i in range(batch.num_rows):
-        sa = np.frombuffer(col_a[i].as_py(), dtype=np.uint64)
-        sb = np.frombuffer(col_b[i].as_py(), dtype=np.uint64)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        if union and inter * 1000 >= thr_x1000 * union:
-            aa.append(int(da[i]))
-            bb.append(int(db[i]))
-            jj.append(inter * 1000 // union)
-    return _pairs_table(aa, bb, jj)
+    inter, union, jac = _pair_intersections(sv_a, off_a, sv_b, off_b)
+    keep = (union > 0) & (inter * 1000 >= thr_x1000 * union)
+    return _pairs_table(da[keep], db[keep], jac[keep])
 
 
 class _VerifyWithStore:
-    """map_batches stage: the candidates-only sketch store is broadcast
-    once (ray.put -> read per actor in __init__), pairs verified with the
-    exact integer-math Jaccard."""
+    """map_batches stage: the candidates-only sketch store (sorted doc ids
+    + one ragged flat/offset array pair) is broadcast once (ray.put ->
+    read per actor in __init__); pairs verify fully vectorized via
+    searchsorted + segment gather + the batched intersection kernel."""
 
     def __init__(self, store_ref, threshold: float):
         import ray
 
-        self.store = ray.get(store_ref)
+        self.ids, self.off, self.flat = ray.get(store_ref)
         self.thr_x1000 = int(round(threshold * 1000))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _pairs_table([], [], [])
         da = batch.column("doc_a").to_numpy(zero_copy_only=False)
         db = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        aa, bb, jj = [], [], []
-        for a, b in zip(da, db):
-            sa = self.store[int(a)]
-            sb = self.store[int(b)]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            if union and inter * 1000 >= self.thr_x1000 * union:
-                aa.append(int(a))
-                bb.append(int(b))
-                jj.append(inter * 1000 // union)
-        return _pairs_table(aa, bb, jj)
+        ia = np.searchsorted(self.ids, da)
+        ib = np.searchsorted(self.ids, db)
+        sv_a, off_a = _gather_segments(self.flat, self.off, ia)
+        sv_b, off_b = _gather_segments(self.flat, self.off, ib)
+        inter, union, jac = _pair_intersections(sv_a, off_a, sv_b, off_b)
+        keep = (union > 0) & (inter * 1000 >= self.thr_x1000 * union)
+        return _pairs_table(da[keep], db[keep], jac[keep])
 
 
-class _FilterSketches:
+class _SketchCandidates:
+    """Filter a documents batch down to the candidate ids (broadcast once)
+    and sketch JUST those docs — the candidate set is metadata-sized, so
+    this recompute is far cheaper than materializing a full-corpus sketch
+    table just to look up a handful of rows."""
+
     def __init__(self, ids_ref):
         import ray
 
         self.wanted = ray.get(ids_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ids = batch.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
         mask = np.isin(ids, self.wanted)
-        return batch.filter(pa.array(mask))
+        if not mask.any():
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "shingles": pa.array([], pa.binary())})
+        return shingle_sketch_batch(batch.filter(pa.array(mask)))
+
+
+def _with_pair_part(b: pa.Table, col_a: str = "doc_a",
+                    col_b: str = "doc_b") -> pa.Table:
+    a = b.column(col_a).to_numpy(zero_copy_only=False).astype(np.uint64)
+    c = b.column(col_b).to_numpy(zero_copy_only=False).astype(np.uint64)
+    key = _splitmix(a * _U64(0x100000001B3) + c)
+    return b.append_column(
+        "pair_part", pa.array((key % _U64(N_PARTS)).astype(np.int64)))
+
+
+def _dedupe_pair_partition(g: pa.Table, col_a: str = "doc_a",
+                           col_b: str = "doc_b") -> pa.Table:
+    a = g.column(col_a).to_numpy(zero_copy_only=False)
+    c = g.column(col_b).to_numpy(zero_copy_only=False)
+    key = np.unique(np.stack([a, c], axis=1), axis=0)
+    return pa.table({col_a: pa.array(key[:, 0], type=pa.int64()),
+                     col_b: pa.array(key[:, 1], type=pa.int64())})
 
 
 def minhash_dedup_pairs(ds, threshold: float = 0.8,
@@ -327,34 +389,40 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8,
     Dataset of (doc_a, doc_b, jaccard_x1000) with doc_a < doc_b (an
     unordered pair set — the oracle compare is order-insensitive).
 
-    verify="broadcast" (default): candidates-only fetch — the deduped
-    candidate id list (metadata-sized: O(near-dup docs)) selects just
-    those docs' sketches, which broadcast once via ray.put and verify in
-    a plain map_batches. verify="join": two Ray Data hash joins against
-    the full sketch table instead — no broadcast at all; use when the
-    dup rate is so extreme the candidate store itself would be large."""
+    verify="broadcast" (default): band rows are computed straight from the
+    documents (no full-corpus sketch table, no materialize barrier); the
+    candidate pair set (metadata-sized: O(near-dup docs)) is deduped on
+    the driver, the candidates' sketches are recomputed for just those
+    docs and broadcast once via ray.put, and verification is a plain
+    vectorized map_batches. verify="join": two Ray Data hash joins
+    against the full sketch table instead — no broadcast at all; use when
+    the dup rate is so extreme the candidate store itself would be
+    large."""
     import ray
-    import ray.data
-
-    if num_partitions is None:
-        # each hash-join partition pins an aggregator actor; two joins run
-        # in the same streaming pipeline, so stay well under the CPU count
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        num_partitions = max(2, min(16, cpus // 4))
-    # sketches are computed ONCE and kept in the (spillable) object store;
-    # bands, candidate verification and the joins all derive from them
-    sketches = ds.map_batches(shingle_sketch_batch, batch_format="pyarrow",
-                              batch_size=1024).materialize()
-    bands = sketches.map_batches(band_rows_batch, batch_format="pyarrow",
-                                 batch_size=1024)
-    cand = bands.groupby("part").map_groups(
-        partition_candidates, batch_format="pyarrow")
-    # distributed pair dedup (hash-shuffle aggregate, no per-group Python)
-    cand = cand.groupby(["doc_a", "doc_b"]).aggregate(
-        ray.data.aggregate.Count()
-    ).select_columns(["doc_a", "doc_b"])
+    import ray.data as rd
 
     if verify == "join":
+        if num_partitions is None:
+            # each hash-join partition pins an aggregator actor; two joins
+            # run in the same streaming pipeline, so stay well under the
+            # CPU count
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+            num_partitions = max(2, min(16, cpus // 4))
+        # sketches are consumed by bands AND both joins: compute once,
+        # keep in the (spillable) object store
+        sketches = ds.map_batches(shingle_sketch_batch,
+                                  batch_format="pyarrow",
+                                  batch_size=1024).materialize()
+        bands = sketches.map_batches(band_rows_batch, batch_format="pyarrow",
+                                     batch_size=1024)
+        cand = bands.groupby("part").map_groups(
+            partition_candidates, batch_format="pyarrow")
+        # distributed pair dedup: partition_candidates deduped within its
+        # band partition; a second fixed-partition pass keyed on a pair
+        # hash dedupes across partitions (no hash-aggregate actor spin-up)
+        cand = cand.map_batches(_with_pair_part, batch_format="pyarrow") \
+            .groupby("pair_part").map_groups(_dedupe_pair_partition,
+                                             batch_format="pyarrow")
         j1 = cand.join(
             sketches, "inner", num_partitions=num_partitions,
             on=("doc_a",), right_on=("doc_id",),
@@ -374,30 +442,48 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8,
         return j2.map_batches(
             lambda b: verify_pairs_batch(b, threshold), batch_format="pyarrow")
 
-    # candidates-only fetch: ids + matched sketches are metadata-sized
-    cand = cand.materialize()
+    # broadcast (default): one streaming pass docs -> bands -> per-part
+    # candidates; pair dedup on the driver over the metadata-sized
+    # candidate table (it is fetched to the driver anyway to build the
+    # broadcast store, so no distributed dedup op is spun up)
+    bands = ds.map_batches(band_rows_batch, batch_format="pyarrow",
+                           batch_size=1024)
+    cand_parts = bands.groupby("part").map_groups(
+        partition_candidates, batch_format="pyarrow")
     ct = pa.concat_tables(
-        list(cand.iter_batches(batch_format="pyarrow", batch_size=None))
+        list(cand_parts.iter_batches(batch_format="pyarrow", batch_size=None))
         or [pa.table({"doc_a": pa.array([], pa.int64()),
                       "doc_b": pa.array([], pa.int64())})])
     if ct.num_rows == 0:
-        import ray.data as rd
-
         return rd.from_arrow(_pairs_table([], [], []))
-    wanted = np.unique(np.concatenate([
+    pairs = np.unique(np.stack([
         ct.column("doc_a").to_numpy(zero_copy_only=False),
-        ct.column("doc_b").to_numpy(zero_copy_only=False)]))
+        ct.column("doc_b").to_numpy(zero_copy_only=False)], axis=1), axis=0)
+    wanted = np.unique(pairs)
     ids_ref = ray.put(wanted)
-    matched = sketches.map_batches(
-        _FilterSketches, fn_constructor_kwargs={"ids_ref": ids_ref},
+    matched = ds.map_batches(
+        _SketchCandidates, fn_constructor_kwargs={"ids_ref": ids_ref},
         batch_format="pyarrow", concurrency=2, num_cpus=1)
-    store: dict[int, np.ndarray] = {}
+    # broadcast store: sorted ids + one ragged (flat, offsets) array pair
+    id_chunks, flat_chunks, len_chunks = [], [], []
     for b in matched.iter_batches(batch_format="pyarrow", batch_size=None):
+        if b.num_rows == 0:
+            continue
         sv, off = _sketch_arrays(b)
-        for i, did in enumerate(b.column("doc_id").to_pylist()):
-            store[int(did)] = sv[off[i]: off[i + 1]]
-    store_ref = ray.put(store)
-    return cand.map_batches(
+        id_chunks.append(b.column("doc_id").to_numpy(zero_copy_only=False))
+        flat_chunks.append(sv)
+        len_chunks.append(np.diff(off))
+    ids = np.concatenate(id_chunks)
+    lens = np.concatenate(len_chunks)
+    off = np.zeros(len(ids) + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    order = np.argsort(ids)
+    flat_s, off_s = _gather_segments(np.concatenate(flat_chunks), off, order)
+    store_ref = ray.put((ids[order], off_s, flat_s))
+    cand_ds = rd.from_arrow(pa.table({
+        "doc_a": pa.array(pairs[:, 0], type=pa.int64()),
+        "doc_b": pa.array(pairs[:, 1], type=pa.int64())}))
+    return cand_ds.map_batches(
         _VerifyWithStore,
         fn_constructor_kwargs={"store_ref": store_ref, "threshold": threshold},
         batch_format="pyarrow", concurrency=2, num_cpus=1)
@@ -514,30 +600,32 @@ def partition_simhash_pairs(group: pa.Table, max_hamming: int = 3) -> pa.Table:
                      "hamming": pa.array(key[:, 2], type=pa.int64())})
 
 
+def _dedupe_simhash_partition(g: pa.Table) -> pa.Table:
+    key = np.unique(np.stack([
+        g.column("doc_a").to_numpy(zero_copy_only=False),
+        g.column("doc_b").to_numpy(zero_copy_only=False),
+        g.column("hamming").to_numpy(zero_copy_only=False)], axis=1), axis=0)
+    return pa.table({"doc_a": pa.array(key[:, 0], type=pa.int64()),
+                     "doc_b": pa.array(key[:, 1], type=pa.int64()),
+                     "hamming": pa.array(key[:, 2], type=pa.int64())})
+
+
 def simhash_dedup_pairs(ds, max_hamming: int = 3):
     """Distributed simhash near-dup: signatures -> chunk banding groupby ->
-    vectorized per-run hamming -> distributed pair dedup (hash-shuffle
-    aggregate). Exact (the banding is lossless for hamming <= 3 over 4
-    chunks); output is an unordered pair set."""
-    import ray.data
-
+    vectorized per-run hamming -> distributed pair dedup. Exact (the
+    banding is lossless for hamming <= 3 over 4 chunks); output is an
+    unordered pair set. Cross-partition pair dedup is a second
+    fixed-partition pass (hamming is a pure function of the pair, so a
+    plain unique suffices — no hash-aggregate actor spin-up)."""
     sigs = ds.map_batches(
         lambda b: simhash_chunk_rows(simhash_batch(b)),
         batch_format="pyarrow")
     pairs = sigs.groupby("part").map_groups(
         lambda g: partition_simhash_pairs(g, max_hamming),
         batch_format="pyarrow")
-    merged = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        ray.data.aggregate.Min("hamming"))
-
-    def rename(b: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_a": b.column("doc_a"),
-            "doc_b": b.column("doc_b"),
-            "hamming": b.column("min(hamming)").cast(pa.int64()),
-        })
-
-    return merged.map_batches(rename, batch_format="pyarrow")
+    return pairs.map_batches(_with_pair_part, batch_format="pyarrow") \
+        .groupby("pair_part").map_groups(_dedupe_simhash_partition,
+                                         batch_format="pyarrow")
 
 
 def simhash_near_pairs(table: pa.Table, max_hamming: int = 3) -> pa.Table:
@@ -723,13 +811,17 @@ def embedding_near_pairs_ivf(ds, threshold: float = 0.95, ncentroids: int = 16,
         Assign, fn_constructor_kwargs={"cents_ref": cents_ref,
                                        "nassign": nassign},
         batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
-    import ray.data
 
     pairs = assigned.groupby("bucket").map_groups(
         bucket_pairs, batch_format="pyarrow")
-    return pairs.groupby(["vec_a", "vec_b"]).aggregate(
-        ray.data.aggregate.Count()
-    ).select_columns(["vec_a", "vec_b"])
+    # cross-bucket pair dedup (multi-assign finds a pair in up to nassign^2
+    # buckets): fixed-partition unique, no hash-aggregate actor spin-up
+    return pairs.map_batches(
+        lambda b: _with_pair_part(b, "vec_a", "vec_b"),
+        batch_format="pyarrow",
+    ).groupby("pair_part").map_groups(
+        lambda g: _dedupe_pair_partition(g, "vec_a", "vec_b"),
+        batch_format="pyarrow")
 
 
 def embedding_near_pairs(table: pa.Table, threshold: float = 0.95) -> pa.Table:

@@ -174,10 +174,10 @@ SQL_Q_EMB_NEARDUP = (
 # --- similarity search -----------------------------------------------------
 
 def _query_vectors(sf_dir: str) -> pa.Table:
-    emb = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
-    import pyarrow.compute as pc
-
-    return emb.filter(pc.less(emb.column("vec_id"), 10))
+    # predicate pushed into the parquet read: only row groups that can
+    # contain vec_id < 10 are scanned, never the whole table
+    return pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                         filters=[("vec_id", "<", 10)])
 
 
 def q_ann_topk(sf_dir: str):
@@ -213,7 +213,9 @@ def q_media_decode(sf_dir: str):
     import ray.data
 
     media = multimodal.synthesize_media(64, seed=42)
-    ds = ray.data.from_arrow(media)
+    # shard the input so the 4-actor pool actually receives 4+ blocks
+    # (from_arrow yields ONE block otherwise — the pool would run 1 task)
+    ds = ray.data.from_arrow(media).repartition(8)
     return multimodal.decode_media_dataset(ds)
 
 
@@ -279,30 +281,49 @@ SQL_Q_WINDOW_AGG = (
 
 # --- as-of (lag) join ------------------------------------------------------
 
+_LAG_PARTS = 64
+
+
 def q_asof_lag(sf_dir: str):
     """Per-user as-of self-join: each event paired with the most recent
-    prior event of the same user. Hash-partition on user_id (the one wide
-    shuffle), sort within partition, vectorized lag — the canonical
-    composition for as-of/range joins that Ray Data lacks natively."""
+    prior event of the same user. NEVER group by the raw user_id (that
+    calls Python once per user — tens of millions of interpreter calls at
+    scale); instead hash-partition on ``user_id % 64`` (the one wide
+    shuffle), then one lexsort per partition and a run-boundary-masked
+    vectorized lag — the canonical composition for as-of/range joins that
+    Ray Data lacks natively."""
     import ray.data
 
     ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
                                columns=["event_id", "user_id", "ts"])
 
-    def lag_group(g: pa.Table) -> pa.Table:
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((u % _LAG_PARTS).astype(np.int64)))
+
+    def lag_partition(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], type=pa.int64()),
+                             "prev_event_id": pa.array([], type=pa.int64())})
         ev = g.column("event_id").to_numpy(zero_copy_only=False)
         ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        order = np.lexsort((ev, ts))  # ORDER BY ts, event_id
-        sorted_ev = ev[order]
-        prev = np.empty(len(ev), dtype=object)
-        prev[0] = None
-        prev[1:] = sorted_ev[:-1]
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, uid))  # PARTITION BY uid ORDER BY ts, ev
+        sev = ev[order]
+        suid = uid[order]
+        prev = np.zeros(n, dtype=np.int64)
+        prev[1:] = sev[:-1]
+        has_prev = np.zeros(n, dtype=bool)
+        has_prev[1:] = suid[1:] == suid[:-1]  # null at each user-run start
         return pa.table({
-            "event_id": pa.array(sorted_ev, type=pa.int64()),
-            "prev_event_id": pa.array(prev.tolist(), type=pa.int64()),
+            "event_id": pa.array(sev, type=pa.int64()),
+            "prev_event_id": pa.array(prev, type=pa.int64(), mask=~has_prev),
         })
 
-    return ds.groupby("user_id").map_groups(lag_group, batch_format="pyarrow")
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(lag_partition, batch_format="pyarrow")
 
 
 SQL_Q_ASOF_LAG = (

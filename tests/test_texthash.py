@@ -158,6 +158,55 @@ def test_minhash_dedup_distributed_matches_exact_jaccard(ray_session):
     assert sorted(mine.to_pylist(), key=key) == sorted(oracle.to_pylist(), key=key)
 
 
+def test_minhash_dedup_join_path_matches_broadcast(ray_session):
+    """verify='join' (double hash join, no broadcast) must produce the
+    same pair set as the default broadcast path."""
+    import ray.data
+
+    ds = ray.data.read_parquet(f"{SF}/documents.parquet")
+    res_b = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+    mine_b = pa.concat_tables(
+        list(res_b.iter_batches(batch_format="pyarrow", batch_size=None)))
+    res_j = dedup.minhash_dedup_pairs(ds, threshold=0.8, verify="join")
+    mine_j = pa.concat_tables(
+        list(res_j.iter_batches(batch_format="pyarrow", batch_size=None)))
+    key = lambda r: (r["doc_a"], r["doc_b"])
+    assert sorted(mine_j.to_pylist(), key=key) == \
+        sorted(mine_b.to_pylist(), key=key)
+
+
+def test_shingle_k_parameter():
+    """shingle_sets with k != 3 (was hardcoded): windows must not cross
+    doc boundaries and counts must be max(0, words - k + 1) for distinct
+    words."""
+    texts = pa.array(["a b c d e", "x y", "p q r s"])
+    for k in (2, 3, 4):
+        _, off = th.shingle_sets(texts, k=k)
+        counts = np.diff(off).tolist()
+        assert counts == [max(0, 5 - k + 1), max(0, 2 - k + 1),
+                          max(0, 4 - k + 1)]
+
+
+def test_skew_guard_warns_not_silent():
+    """A bucket run above MAX_RUN must emit a RuntimeWarning and be
+    counted, never dropped silently."""
+    import warnings
+
+    n = dedup.MAX_RUN + 8
+    group = pa.table({
+        "doc_id": pa.array(np.arange(n), type=pa.int64()),
+        "bucket": pa.array(np.zeros(n, dtype=np.int64)),
+        "part": pa.array(np.zeros(n, dtype=np.int64)),
+    })
+    before = len(dedup._SKIPPED_RUNS)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.partition_candidates(group)
+    assert out.num_rows == 0
+    assert any("degenerate bucket run" in str(x.message) for x in w)
+    assert len(dedup._SKIPPED_RUNS) == before + 1
+
+
 def test_simhash_dedup_distributed_matches_local(ray_session, docs):
     import ray.data
 
