@@ -37,7 +37,15 @@ def cmd_encode(args) -> int:
     if not paths:
         print(f"no inputs match {args.input}", file=sys.stderr)
         return 1
-    cfg = EncoderConfig(stripe_target_tokens=args.stripe_tokens)
+    meta = {}
+    for kv in args.meta or []:
+        if "=" not in kv:
+            print(f"--meta expects key=value, got {kv!r}", file=sys.stderr)
+            return 1
+        k, v = kv.split("=", 1)
+        meta[k] = v
+    cfg = EncoderConfig(stripe_target_tokens=args.stripe_tokens,
+                        user_metadata=meta)
     summary = encode_job(paths, args.out, cfg, resume=not args.no_resume)
     print(json.dumps(summary, indent=2))
     return 0
@@ -133,6 +141,8 @@ def main(argv=None) -> int:
     p.add_argument("--stripe-tokens", type=int, default=4_000_000)
     p.add_argument("--no-resume", action="store_true")
     p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--meta", action="append", default=[], metavar="K=V",
+                   help="user metadata key=value (repeatable; shown by stats)")
     p.set_defaults(fn=cmd_encode)
 
     p = sub.add_parser("decode", help="encoded dir -> csv/parquet")

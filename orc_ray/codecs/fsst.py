@@ -178,6 +178,15 @@ def decompress(buf: bytes, comp_lengths: np.ndarray):
     lengths int64)."""
     table, pos = SymbolTable.deserialize(buf, 0)
     data = np.frombuffer(buf, dtype=_U8, offset=pos)
+    return decompress_with_table(table, data, comp_lengths)
+
+
+def decompress_with_table(table: SymbolTable, data: np.ndarray,
+                          comp_lengths: np.ndarray):
+    """Decode compressed token bytes (header already stripped/parsed) —
+    the entry point for byte-range reads, where the symbol table and an
+    arbitrary slice of the token stream are fetched separately."""
+    data = np.ascontiguousarray(data, dtype=_U8)
     comp_lengths = np.ascontiguousarray(comp_lengths, dtype=np.int64)
     nstr = len(comp_lengths)
     offsets = np.zeros(nstr + 1, dtype=np.int64)

@@ -42,6 +42,10 @@ class EncoderConfig:
     # every N chunks (stripe-granular stability like ORC's writer)
     selector_recheck_every: int = 8
     fsst_iterations: int = 5
+    # user-defined key/value metadata persisted alongside the manifests
+    # (the writer.go:96-104 AddUserMetadata analogue): provenance tags,
+    # pipeline versions, etc. Surfaced by manifest_summary and CLI stats.
+    user_metadata: dict = field(default_factory=dict)
 
     def to_dict(self) -> dict:
         return {
@@ -56,6 +60,7 @@ class EncoderConfig:
             "selector_sample_values": self.selector_sample_values,
             "selector_recheck_every": self.selector_recheck_every,
             "fsst_iterations": self.fsst_iterations,
+            "user_metadata": dict(self.user_metadata),
         }
 
     @classmethod

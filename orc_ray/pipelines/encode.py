@@ -180,6 +180,8 @@ def encode_job(
 
     config = config or EncoderConfig()
     mf.ensure_dirs(out_dir)
+    if config.user_metadata:
+        mf.write_user_metadata(out_dir, config.user_metadata)
     target = partition_target_tokens or config.stripe_target_tokens
     specs = plan_partitions(paths, target)
     done = mf.completed_partitions(out_dir) if resume else set()
@@ -248,6 +250,8 @@ def encode_dataset_streaming(
     (lazy — consume it to drive the pipeline)."""
     config = config or EncoderConfig()
     mf.ensure_dirs(out_dir)
+    if config.user_metadata:
+        mf.write_user_metadata(out_dir, config.user_metadata)
     if concurrency is None:
         concurrency = _default_concurrency()
     return ds.map_batches(

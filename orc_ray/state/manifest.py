@@ -83,6 +83,30 @@ def commit_partition(out_dir: str, pid: int, rows: list[dict]) -> pa.Table:
     return table
 
 
+def user_metadata_path(out_dir: str) -> str:
+    return os.path.join(manifest_dir(out_dir), "_user_metadata.json")
+
+
+def write_user_metadata(out_dir: str, kv: dict) -> None:
+    """Persist user key/value metadata next to the manifests, atomically
+    (the writer.go:96-104 AddUserMetadata analogue — here it survives
+    crashes because it commits before any partition encodes)."""
+    path = user_metadata_path(out_dir)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({str(k): str(v) for k, v in kv.items()}, f,
+                  separators=(",", ":"), sort_keys=True)
+    os.replace(tmp, path)
+
+
+def read_user_metadata(out_dir: str) -> dict:
+    path = user_metadata_path(out_dir)
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return json.load(f)
+
+
 def completed_partitions(out_dir: str) -> set[int]:
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
@@ -131,4 +155,7 @@ def manifest_summary(out_dir: str, codec_histogram: bool = True) -> dict:
         summary["stream_bytes_by_codec"] = codec_hist
     if summary["num_tokens"]:
         summary["bytes_per_token"] = summary["encoded_bytes"] / summary["num_tokens"]
+    um = read_user_metadata(out_dir)
+    if um:
+        summary["user_metadata"] = um
     return summary

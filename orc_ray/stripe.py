@@ -129,6 +129,11 @@ class _BlobWriter:
             n_, vmin_, width_, hdr_ = forpack.parse_header(data[:24])
             rec["for_header"] = [int(n_), int(vmin_), int(width_), int(hdr_)]
             seekable = True
+        # raw fixed-width payloads (float streams) are analytically
+        # seekable too: byte range of values [lo, hi) is pure math — mark
+        # them so an outer zlib gets a chunk index for range reads
+        if codec == "bytes" and raw_len >= self.MIN_INDEX_BYTES and self.stride:
+            seekable = True
         # codec-level chunked zlib (string blobs): chunk index enables raw
         # range reads when paired with a byte_index
         if codec == "zlib" and "byte_index" in extra:
@@ -311,7 +316,7 @@ def _encode_column(
         secs_rel, fmt_nanos = split_unit(vals, t.unit)
         codec = _select_int(selector, group, f"{name}:DATA", secs_rel, True, config)
         w.add(name, "DATA", codec, encode_int_stream(secs_rel, codec, True),
-              signed=True)
+              signed=True, index_values=secs_rel)
         n_codec = _select_int(selector, group, f"{name}:SECONDARY", fmt_nanos,
                               False, config, ("rle2", "for"))
         w.add(name, "SECONDARY", n_codec,
@@ -469,15 +474,25 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
                                                  selector, group, name)
         extra = {}
         stride = w.stride
-        if (stride and blob_codec in ("none", "zlib") and len(lens) > stride
+        if (stride and len(lens) > stride
                 and len(payload) >= _BlobWriter.MIN_INDEX_BYTES):
             # byte offset of every stride-th value into the raw payload:
             # lets a row-range decode read only that slice of the blob
             boff = np.zeros(len(lens) + 1, dtype=np.int64)
             np.cumsum(lens, out=boff[1:])
-            extra["byte_index"] = [int(x) for x in boff[:-1:stride]]
-            if blob_codec == "zlib":
-                extra["blob_raw_length"] = len(blob)
+            if blob_codec in ("none", "zlib"):
+                extra["byte_index"] = [int(x) for x in boff[:-1:stride]]
+                if blob_codec == "zlib":
+                    extra["blob_raw_length"] = len(blob)
+            elif blob_codec == "fsst":
+                # fsst LENGTH entries ARE compressed lengths, so their
+                # cumsum indexes the token bytes directly; the symbol
+                # table header sits in front of them (its size = payload
+                # minus total token bytes)
+                hlen = len(payload) - int(lens.sum())
+                extra["byte_index"] = [hlen + int(x)
+                                       for x in boff[:-1:stride]]
+                extra["fsst_header_len"] = hlen
         w.add(name, "DATA", blob_codec, payload, **extra)
         len_codec = _select_int(selector, group, f"{name}:LENGTH", lens, False,
                                 config, ("rle2", "for"))
@@ -958,13 +973,32 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
                         stride):
     name = cm["name"]
     enc = cm["encoding"]
+    n_out = hi - lo
     # fallback: decode the column fully (its own streams only), slice rows
     def full():
         return _decode_column(fetch_full, cm, t, streams, n_rows).slice(
             lo, hi - lo)
 
+    valid_slice = None
+    vlo, vhi = lo, hi
     if cm.get("null_count", 0):
-        return full()
+        # PRESENT-aware range decode (reference: treewriter.go:69-92 /
+        # cursor.go:179-198 record present positions in ROW_INDEX): the
+        # present stream is tiny (n_rows BITS raw, byte-RLE'd smaller), so
+        # scan it whole — its own bytes only — then map the row range to
+        # the VALUE range of the data streams, which keep their seek-point
+        # byte-sparse reads. Without this every nullable column lost the
+        # ~3% byte-touch property to a full-stream fallback.
+        prec = streams.get((name, "PRESENT"))
+        if prec is None or enc not in ("int", "direct", "dict", "float",
+                                       "timestamp"):
+            return full()
+        valid = byterle.decode_bools(fetch_full(prec), n_rows)
+        valid_slice = valid[lo:hi]
+        vlo = int(valid[:lo].sum())
+        vhi = vlo + int(valid_slice.sum())
+        if vhi == vlo:  # every requested row is null
+            return pa.nulls(n_out, type=t)
     if enc == "int":
         rec = streams[(name, "DATA")]
         out_dtype = np.int64
@@ -972,22 +1006,42 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
             bits = t.bit_width
             if (bits <= 32 and pa.types.is_signed_integer(t)) or bits <= 16:
                 out_dtype = np.int32
-        vals = _int_range(reader, rec, lo, hi, out_dtype)
-        return _int_array(vals, t, None, hi - lo)
+        vals = _int_range(reader, rec, vlo, vhi, out_dtype)
+        return _int_array(vals, t, valid_slice, n_out)
+    if enc == "timestamp":
+        from .codecs.timestamp import join_unit
+
+        rec = streams[(name, "DATA")]
+        srec = streams[(name, "SECONDARY")]
+        secs = _int_range(reader, rec, vlo, vhi)
+        fmt = _int_range(reader, srec, vlo, vhi)
+        vals = join_unit(secs, fmt, cm["unit"])
+        return _int_array(vals, t, valid_slice, n_out)
+    if enc == "float":
+        rec = streams[(name, "DATA")]
+        dtype = np.float32 if t == pa.float32() else np.float64
+        isz = np.dtype(dtype).itemsize
+        raw = _raw_range(reader, rec, vlo * isz, vhi * isz)
+        vals = np.frombuffer(raw, dtype=dtype)
+        if valid_slice is None:
+            return pa.array(vals, type=t)
+        return _scatter_array(vals, valid_slice, t)
     if enc == "direct":
         len_rec = streams[(name, "LENGTH")]
         data_rec = streams[(name, "DATA")]
         bindex = data_rec.get("byte_index")
-        if bindex is None or data_rec["codec"] not in ("none", "zlib"):
+        if bindex is None or data_rec["codec"] not in ("none", "zlib", "fsst"):
             return full()
         # one LENGTH range read covers both the partial-sum head and the
-        # requested rows (avoids decompressing the same chunks twice)
+        # requested values (avoids decompressing the same chunks twice);
+        # byte_index entries are per stride VALUES, so the math below runs
+        # in value space (== row space when the column has no nulls)
         stride_rows = stride or max(n_rows, 1)
-        k = min(lo // stride_rows, len(bindex) - 1)
-        base_row = k * stride_rows
-        both = _int_range(reader, len_rec, base_row, hi)
-        head = both[: lo - base_row]
-        lens = both[lo - base_row:]
+        k = min(vlo // stride_rows, len(bindex) - 1)
+        base_val = k * stride_rows
+        both = _int_range(reader, len_rec, base_val, vhi)
+        head = both[: vlo - base_val]
+        lens = both[vlo - base_val:]
         b0 = bindex[k] + int(head.sum())
         nbytes = int(lens.sum())
         if data_rec["codec"] == "zlib":
@@ -998,11 +1052,24 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
             blob = _raw_range(reader, shim, b0, b0 + nbytes)
         else:
             blob = _raw_range(reader, data_rec, b0, b0 + nbytes)
-        return strings_from_blob(blob, lens).cast(t) \
-            if not pa.types.is_string(t) else strings_from_blob(blob, lens)
+        if data_rec["codec"] == "fsst":
+            # symbol table (tiny header) + only the covering token-byte
+            # slice; lens here are the COMPRESSED lengths from the LENGTH
+            # stream, exactly what decompress_with_table consumes
+            head_b = _raw_range(reader, data_rec, 0,
+                                data_rec["fsst_header_len"])
+            ftable, _ = fsst.SymbolTable.deserialize(head_b, 0)
+            dblob, dlens = fsst.decompress_with_table(
+                ftable, np.frombuffer(blob, dtype=np.uint8), lens)
+            vals_arr = strings_from_blob(dblob, dlens)
+        else:
+            vals_arr = strings_from_blob(blob, lens)
+        if valid_slice is not None:
+            return _scatter_strings(vals_arr, valid_slice, t)
+        return vals_arr.cast(t) if not pa.types.is_string(t) else vals_arr
     if enc == "dict":
         rec = streams[(name, "DATA")]
-        indexes = _int_range(reader, rec, lo, hi)
+        indexes = _int_range(reader, rec, vlo, vhi)
         dict_rec = streams[(name, "DICT_DATA")]
         dict_size = dict_rec["dict_size"]
         len_rec = streams[(name, "LENGTH")]
@@ -1010,7 +1077,10 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
                                  dict_size)
         dblob, dlens = _decode_blob(dict_rec["codec"], fetch_full(dict_rec), lens)
         dict_arr = strings_from_blob(dblob, dlens)
-        return dict_arr.take(pa.array(indexes, type=pa.int64()))
+        taken = dict_arr.take(pa.array(indexes, type=pa.int64()))
+        if valid_slice is not None:
+            return _scatter_strings(taken, valid_slice, t)
+        return taken
     if enc == "list" and "child" not in cm and "elem_offsets" in cm:
         len_rec = streams[(name, "LENGTH")]
         data_rec = streams[(name, "DATA")]

@@ -202,3 +202,18 @@ def test_predicate_pushdown_prunes_stripes(ray_session, tmp_path):
     assert got.num_rows == int(exp_mask.sum())
     assert sorted(got.column("doc_id").to_pylist()) == \
         list(np.flatnonzero(exp_mask))
+
+
+def test_user_metadata_roundtrip(ray_session, token_shards, tmp_path):
+    """AddUserMetadata analogue: key/value pairs set on the config must
+    survive to manifest_summary (and the file commits before encoding)."""
+    out = str(tmp_path / "enc_meta")
+    cfg = EncoderConfig(stripe_target_tokens=100_000,
+                        user_metadata={"pipeline": "unit-test", "v": "3"})
+    encode_job(token_shards, out, cfg, concurrency=2)
+    assert mf.read_user_metadata(out) == {"pipeline": "unit-test", "v": "3"}
+    summary = mf.manifest_summary(out, codec_histogram=False)
+    assert summary["user_metadata"] == {"pipeline": "unit-test", "v": "3"}
+    # config dict round-trip (what actor pools receive)
+    assert EncoderConfig.from_dict(cfg.to_dict()).user_metadata == \
+        cfg.user_metadata

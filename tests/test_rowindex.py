@@ -112,6 +112,70 @@ def test_pipeline_read_rows(ray_session, tmp_path):
             assert by_id[r["doc_id"]]["n_tok"] == r["n_tok"]
 
 
+@pytest.fixture(scope="module")
+def nullable_stripe():
+    rng = np.random.default_rng(21)
+    n = 1_000_000
+    null_mask = rng.random(n) < 0.1
+    ints = rng.integers(0, 1 << 30, n)
+    floats = rng.random(n)
+    srcs = np.array(["web", "book", "code", "wiki"])[rng.integers(0, 4, n)]
+    ts = (1735689600_000_000 + rng.integers(0, 10**9, n)).astype("datetime64[us]")
+    t = pa.table({
+        "i": pa.array(ints, type=pa.int64(), mask=null_mask),
+        "f": pa.array(floats, type=pa.float64(), mask=null_mask),
+        "s": pa.array([f"value-{v:09d}" for v in ints], type=pa.string(),
+                      mask=null_mask),
+        "dct": pa.array(srcs.tolist(), type=pa.string(), mask=null_mask),
+        "ts": pa.array(ts, type=pa.timestamp("us"), mask=null_mask),
+    })
+    cfg = EncoderConfig(stripe_target_tokens=10**9)
+    blob, meta = encode_table(t, cfg)
+    return t, bytes(blob), meta
+
+
+def test_nullable_range_decode_correct(nullable_stripe):
+    t, blob, meta = nullable_stripe
+    for (r0, cnt) in [(612345, 10000), (0, 1000), (999000, 1000), (7, 3)]:
+        sub, _ = decode_blob_rows(blob, meta, r0, cnt)
+        exp = t.slice(r0, cnt)
+        assert sub.num_rows == cnt
+        for c in t.column_names:
+            assert exp.column(c).combine_chunks().to_pylist() == \
+                sub.column(c).combine_chunks().to_pylist(), (c, r0)
+
+
+def test_nullable_range_decode_is_byte_sparse(nullable_stripe):
+    """PRESENT-aware range decode: a nullable column must keep the
+    byte-sparse property (the present stream is scanned whole but it is
+    bits-per-row tiny; the data streams range-read)."""
+    t, blob, meta = nullable_stripe
+    sub, touched = decode_blob_rows(blob, meta, 612345, 10000)
+    assert sub.num_rows == 10000
+    frac = touched / len(blob)
+    assert frac < 0.10, f"10k of 1M nullable rows touched {frac:.1%}"
+
+
+def test_fsst_string_range_decode_byte_sparse():
+    """An FSST-coded direct string stream must range-read through its
+    byte_index (symbol-table header + covering token-byte slice), not
+    whole-read the blob."""
+    n = 400_000
+    vals = np.arange(n) * 7919 % (1 << 30)
+    t = pa.table({"doc_id": pa.array(
+        [f"doc/shard-{v:09d}/part" for v in vals], type=pa.string())})
+    cfg = EncoderConfig(stripe_target_tokens=10**9,
+                        string_blob_candidates=("fsst",))
+    blob, meta = encode_table(t, cfg)
+    codecs = {s["column"]: s["codec"] for s in meta["streams"]
+              if s["kind"] == "DATA"}
+    assert codecs["doc_id"] == "fsst"
+    sub, touched = decode_blob_rows(bytes(blob), meta, 250_000, 5000)
+    assert sub.column("doc_id").to_pylist() == \
+        t.slice(250_000, 5000).column("doc_id").to_pylist()
+    assert touched / len(blob) < 0.05, f"touched {touched/len(blob):.1%}"
+
+
 def test_range_decode_fallback_types():
     """Columns without fast range paths (nulls, structs, decimals, bools)
     still range-decode correctly via the full-stream fallback."""
