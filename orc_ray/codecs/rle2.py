@@ -41,6 +41,9 @@ from .bitpack import (
     unpack_bits,
 )
 
+# plain-list width table for decode's pass-1 loop (list index beats a numpy
+# scalar index ~10x in a hot Python loop)
+_DBW_LIST = [int(w) for w in DECODE_BIT_WIDTH]
 # lookup arrays for the batched encoder
 _ENC_CODE_OF = _ENCODE_BW[_CLOSEST_FIXED]  # bit length (0..64) -> width code
 _CLOSEST_ALIGNED_ARR = _CLOSEST_ALIGNED
@@ -637,6 +640,27 @@ def run_index(buf: bytes, stride: int) -> list[tuple[int, int]]:
     return entries
 
 
+def _batch_vulongs(raw: np.ndarray, starts: np.ndarray,
+                   ends: np.ndarray) -> np.ndarray:
+    """Vectorized LEB128 decode of k varints given their [start, end] byte
+    ranges (``end`` = the terminator byte, < 0x80). One gather + a 7-bit
+    Horner combine instead of k Python byte loops."""
+    k = len(starts)
+    if k == 0:
+        return np.empty(0, dtype=_U64)
+    L = (ends - starts + 1).astype(np.int64)
+    width = int(L.max())
+    pad = np.zeros(len(raw) + width, dtype=np.uint8)
+    pad[: len(raw)] = raw
+    mat = pad[starts[:, None] + np.arange(width)]
+    mask = np.arange(width)[None, :] < L[:, None]
+    sep = (mat & 0x7F).astype(_U64) * mask
+    val = np.zeros(k, dtype=_U64)
+    for j in range(width - 1, -1, -1):
+        val = (val << _U64(7)) | sep[:, j]
+    return val
+
+
 def decode(buf: bytes, signed: bool, n: int | None = None,
            out_dtype=np.int64) -> np.ndarray:
     """Decode an RLEv2 byte stream to an integer array (``out_dtype`` may be
@@ -644,68 +668,87 @@ def decode(buf: bytes, signed: bool, n: int | None = None,
     token streams). Stops after ``n`` values when given, else consumes the
     whole buffer.
 
-    Two passes: a cheap header scan collects every run's (tag, position,
-    count), then DIRECT runs are unpacked in groups of equal (width, count)
-    with one vectorized gather/scatter per group; other runs decode
-    individually."""
+    Two passes: a cheap sequential header scan collects every run's
+    (tag, position, count, width) — DELTA header varints are skipped via a
+    tight terminator byte scan, not parsed — then DIRECT, DELTA and
+    SHORT_REPEAT runs all decode in vectorized groups (DELTA header varints
+    batch-decode through ``_batch_vulongs``); only the rare PATCHED_BASE
+    runs decode individually."""
     size = len(buf)
-    # pass 1: header scan
+    raw = np.frombuffer(buf, dtype=np.uint8)
+    # pass 1: header scan into flat per-field lists (cheap scalar appends;
+    # np.array over an int list is far faster than over a tuple list)
     tags = []
-    positions = []
+    positions_l = []
     counts = []
     widths = []
+    t_add = tags.append; p_add = positions_l.append
+    c_add = counts.append; w_add = widths.append
+    dbw = _DBW_LIST
+    delta_i_l = []; delta_e1 = []; delta_e2 = []
+    di_add = delta_i_l.append; d1_add = delta_e1.append; d2_add = delta_e2.append
+    nrun = 0
     pos = 0
     total = 0
     while pos < size and (n is None or total < n):
         first = buf[pos]
-        tag = (first >> 6) & 0x3
-        if tag == SHORT_REPEAT:
+        tag = first >> 6
+        if tag == DELTA:
+            fbo = (first >> 1) & 0x1F
+            fb = dbw[fbo] if fbo != 0 else 0
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            # varints are <=10 bytes: a tight byte scan for the two
+            # terminators beats any precomputed index on large streams
+            e1 = pos + 2
+            while buf[e1] >= 0x80:
+                e1 += 1
+            e2 = e1 + 1
+            while buf[e2] >= 0x80:
+                e2 += 1
+            p = e2 + 1
+            if fb != 0:
+                p += ((cnt - 2) * fb + 7) // 8
+            di_add(nrun); d1_add(e1); d2_add(e2)
+            t_add(tag); p_add(pos); c_add(cnt); w_add(fb)
+            pos = p
+        elif tag == DIRECT:
+            fb = dbw[(first >> 1) & 0x1F]
+            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
+            t_add(tag); p_add(pos); c_add(cnt); w_add(fb)
+            pos += 2 + (cnt * fb + 7) // 8
+        elif tag == SHORT_REPEAT:
             sz = ((first >> 3) & 0x7) + 1
             cnt = (first & 0x7) + MIN_REPEAT
-            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(sz)
+            t_add(tag); p_add(pos); c_add(cnt); w_add(sz)
             pos += 1 + sz
-        elif tag == DIRECT:
-            fb = decode_bit_width((first >> 1) & 0x1F)
-            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
-            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
-            pos += 2 + (cnt * fb + 7) // 8
-        elif tag == PATCHED_BASE:
-            fb = decode_bit_width((first >> 1) & 0x1F)
+        else:  # PATCHED_BASE
+            fb = dbw[(first >> 1) & 0x1F]
             cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
             third = buf[pos + 2]
             base_bytes = ((third >> 5) & 0x7) + 1
-            patch_width = decode_bit_width(third & 0x1F)
+            patch_width = dbw[third & 0x1F]
             fourth = buf[pos + 3]
             patch_gap_width = ((fourth >> 5) & 0x7) + 1
             pll = fourth & 0x1F
             gvp_w = get_closest_fixed_bits(patch_width + patch_gap_width)
-            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
+            t_add(tag); p_add(pos); c_add(cnt); w_add(fb)
             pos += 4 + base_bytes + (cnt * fb + 7) // 8 + (pll * gvp_w + 7) // 8
-        else:  # DELTA — data length needs the varints; parse them
-            fbo = (first >> 1) & 0x1F
-            fb = decode_bit_width(fbo) if fbo != 0 else 0
-            cnt = ((first & 0x1) << 8 | buf[pos + 1]) + 1
-            p = pos + 2
-            _, p = read_vulong(buf, p)  # first value (zigzag irrelevant for length)
-            _, p = read_vslong(buf, p)  # fixed delta or delta base
-            if fb != 0:
-                p += ((cnt - 2) * fb + 7) // 8
-            tags.append(tag); positions.append(pos); counts.append(cnt); widths.append(fb)
-            pos = p
-        total += counts[-1]
-
-    out = np.empty(total, dtype=out_dtype)
-    starts = np.zeros(len(counts) + 1, dtype=np.int64)
-    np.cumsum(counts, out=starts[1:])
+        nrun += 1
+        total += cnt
 
     tags_a = np.array(tags, dtype=np.int64) if tags else np.empty(0, np.int64)
+    pos_a = np.array(positions_l, dtype=np.int64)
+    cnt_a = np.array(counts, dtype=np.int64)
+    w_a = np.array(widths, dtype=np.int64)
+    positions = positions_l  # pass 2d indexes per run
+    delta_i = np.array(delta_i_l, dtype=np.int64)
+
+    out = np.empty(total, dtype=out_dtype)
+    starts = np.zeros(nrun + 1, dtype=np.int64)
+    np.cumsum(cnt_a, out=starts[1:])
     # pass 2a: grouped DIRECT decode
     direct_idx = np.flatnonzero(tags_a == DIRECT)
     if len(direct_idx):
-        pos_a = np.array(positions, dtype=np.int64)
-        cnt_a = np.array(counts, dtype=np.int64)
-        w_a = np.array(widths, dtype=np.int64)
-        raw = np.frombuffer(buf, dtype=np.uint8)
         for key in np.unique(w_a[direct_idx] * 1024 + cnt_a[direct_idx]):
             w, c = int(key) // 1024, int(key) % 1024
             grp = direct_idx[(w_a[direct_idx] == w) & (cnt_a[direct_idx] == c)]
@@ -723,17 +766,86 @@ def decode(buf: bytes, signed: bool, n: int | None = None,
                 else vals.view(_I64)
             scatter = starts[grp][:, None] + np.arange(c)
             out[scatter.ravel()] = dec.ravel()
-    # pass 2b: everything else, per run
-    for i, tag in enumerate(tags):
-        if tag == DIRECT:
-            continue
+    # pass 2b: grouped DELTA decode — batch the header varints, then one
+    # unpack + row-cumsum per (width, count) group
+    if len(delta_i):
+        di = delta_i
+        e1 = np.array(delta_e1, dtype=np.int64)
+        e2 = np.array(delta_e2, dtype=np.int64)
+        u1 = _batch_vulongs(raw, pos_a[di] + 2, e1)
+        first_vals = zigzag_decode(u1) if signed else u1.view(_I64)
+        delta_bases = zigzag_decode(_batch_vulongs(raw, e1 + 1, e2))
+        data_start = e2 + 1
+        dcnt = cnt_a[di]
+        dfb = w_a[di]
+        for key in np.unique(dfb * 1024 + dcnt):
+            w, c = int(key) // 1024, int(key) % 1024
+            sel = (dfb == w) & (dcnt == c)
+            grp = di[sel]
+            k = len(grp)
+            fv = first_vals[sel]
+            db = delta_bases[sel]
+            if w == 0:
+                # fixed-delta runs: value_i = first + i * delta
+                vals2d = fv[:, None] + db[:, None] * np.arange(c, dtype=_I64)
+            elif k < 4:
+                # small groups: per-run unpack_bits beats the matrix setup
+                for j in range(k):
+                    g = int(grp[j])
+                    if c > 2:
+                        absd, _ = unpack_bits(
+                            buf, w, c - 2, int(data_start[sel][j]))
+                        absd = absd.view(_I64)
+                    else:
+                        absd = np.empty(0, dtype=_I64)
+                    step = np.empty(c, dtype=_I64)
+                    step[0] = fv[j]
+                    step[1] = db[j]
+                    step[2:] = absd if db[j] >= 0 else -absd
+                    out[starts[g]: starts[g] + c] = np.cumsum(step)
+                continue
+            else:
+                nb = ((c - 2) * w + 7) // 8
+                if c > 2 and nb > 0:
+                    gather = data_start[sel][:, None] + np.arange(nb)
+                    mat = raw[np.minimum(gather, size - 1)] \
+                        if gather.max() >= size else raw[gather]
+                    absd = _unpack_matrix(mat, w, c - 2).view(_I64)
+                else:
+                    absd = np.zeros((k, 0), dtype=_I64)
+                steps = np.empty((k, c), dtype=_I64)
+                steps[:, 0] = fv
+                steps[:, 1] = db
+                sign = np.where(db >= 0, _I64(1), _I64(-1))
+                steps[:, 2:] = absd * sign[:, None]
+                vals2d = np.cumsum(steps, axis=1)
+            scatter = starts[grp][:, None] + np.arange(c)
+            out[scatter.ravel()] = vals2d.ravel()
+    # pass 2c: grouped SHORT_REPEAT decode — batch big-endian value gather
+    # per byte-width, then one ragged repeat/scatter for all runs
+    sr_idx = np.flatnonzero(tags_a == SHORT_REPEAT)
+    if len(sr_idx):
+        vals_u = np.zeros(len(sr_idx), dtype=_U64)
+        srw = w_a[sr_idx]
+        for w in np.unique(srw):
+            m = srw == w
+            gather = pos_a[sr_idx][m][:, None] + 1 + np.arange(int(w))
+            mat = raw[gather].astype(_U64)
+            v = np.zeros(len(mat), dtype=_U64)
+            for j in range(int(w)):
+                v = (v << _U64(8)) | mat[:, j]
+            vals_u[m] = v
+        dec = (zigzag_decode(vals_u) if signed
+               else vals_u.view(_I64)).astype(out_dtype, copy=False)
+        cnts = cnt_a[sr_idx]
+        tot = int(cnts.sum())
+        pos0 = np.repeat(starts[sr_idx], cnts)
+        intra = np.arange(tot) - np.repeat(np.cumsum(cnts) - cnts, cnts)
+        out[pos0 + intra] = np.repeat(dec, cnts)
+    # pass 2d: PATCHED_BASE (rare), per run
+    for i in np.flatnonzero(tags_a == PATCHED_BASE):
         s = starts[i]
-        if tag == SHORT_REPEAT:
-            arr, _ = _read_short_repeat(buf, positions[i], signed)
-        elif tag == PATCHED_BASE:
-            arr, _ = _read_patched_base(buf, positions[i])
-        else:
-            arr, _ = _read_delta(buf, positions[i], signed)
+        arr, _ = _read_patched_base(buf, positions[i])
         out[s: s + len(arr)] = arr
     if n is not None and total > n:
         out = out[:n]
