@@ -47,7 +47,7 @@ def sf_name(sf_dir: str) -> str:
     return os.path.basename(os.path.normpath(sf_dir))
 
 
-def _memcpy_worker(_):
+def _memcpy_worker(start_ts):
     import time as _t
 
     import numpy as np
@@ -55,24 +55,33 @@ def _memcpy_worker(_):
     a = np.random.default_rng(0).integers(0, 100, 8_000_000).astype(np.int32)
     b = np.empty_like(a)
     np.copyto(b, a)
+    # barrier on a shared wall-clock instant: without it, pool-startup
+    # stagger lets short measurements run back-to-back instead of
+    # concurrently and the "contended" reading is silently uncontended
+    while _t.time() < start_ts:
+        _t.sleep(0.005)
     t0 = _t.perf_counter()
-    reps = 16
-    for _ in range(reps):
+    n = 0
+    while _t.perf_counter() - t0 < 2.0:
         np.copyto(b, a)
         a[0] += 1
-    return a.nbytes * 2 / ((_t.perf_counter() - t0) / reps) / 1e9
+        n += 1
+    return a.nbytes * 2 * n / (_t.perf_counter() - t0) / 1e9
 
 
 def memcpy_control(nproc: int) -> float:
-    """Per-process memcpy GB/s at nproc concurrent workers — the
-    hardware's own per-core memory ceiling at that concurrency. The ratio
-    between two levels bounds what ANY bandwidth-touching workload can
-    score on this single-bus box; a real 4N-node cluster has 4N buses."""
+    """Per-process memcpy GB/s at nproc TRULY CONCURRENT workers (barrier
+    start + fixed 2s window) — the hardware's own per-core memory ceiling
+    at that concurrency. The ratio between two levels bounds what ANY
+    bandwidth-bound workload can score on this single-bus box; a real
+    4N-node cluster has 4N buses."""
     import multiprocessing as mp
+    import time as _t
 
     ctx = mp.get_context("spawn")
+    start = _t.time() + max(4.0, 0.2 * nproc)
     with ctx.Pool(nproc) as p:
-        rates = p.map(_memcpy_worker, range(nproc))
+        rates = p.map(_memcpy_worker, [start] * nproc)
     return sum(rates) / len(rates)
 
 

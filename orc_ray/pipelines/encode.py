@@ -188,10 +188,6 @@ def encode_job(
     todo = [s.to_dict() for s in specs if s.pid not in done]
     result = {"planned_partitions": len(specs), "skipped": len(specs) - len(todo)}
     if todo:
-        # one block per partition spec => one task per partition (clean retry
-        # granularity + even load balance; from_items would otherwise pack
-        # multiple specs per block and batch_size=1 cannot re-split them)
-        ds = ray.data.from_items(todo, override_num_blocks=len(todo))
         if concurrency is None:
             # from_items has no upstream task operators to starve, so the
             # pool may take every CPU (unlike streaming map_batches chains)
@@ -199,6 +195,16 @@ def encode_job(
 
             cpus = int(_ray.cluster_resources().get("CPU", 8))
             concurrency = max(1, min(len(todo), cpus, 32))
+        conc_hi = max(concurrency) if isinstance(concurrency, tuple) \
+            else concurrency
+        # ~8 blocks per actor: driver-side block creation costs ~2-3ms per
+        # block (a pure fixed cost that grows with partition count, not
+        # cluster size), while batch_size=1 still hands the encoder one
+        # spec per call and the per-partition manifest commit keeps resume
+        # granularity; 8x concurrency bounds the straggler tail to ~1/8 of
+        # a round
+        n_blocks = min(len(todo), conc_hi * 8)
+        ds = ray.data.from_items(todo, override_num_blocks=n_blocks)
         man = ds.map_batches(
             PartitionEncoder,
             fn_constructor_kwargs={"out_dir": out_dir, "config_dict": config.to_dict()},
