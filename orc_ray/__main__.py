@@ -108,9 +108,12 @@ def _csv_ok(t) -> bool:
 
 
 def cmd_stats(args) -> int:
-    from .state.manifest import manifest_summary
+    from .state.manifest import column_stats, manifest_summary
 
-    print(json.dumps(manifest_summary(args.dir), indent=2))
+    summary = manifest_summary(args.dir)
+    if args.columns:
+        summary["column_stats"] = column_stats(args.dir)
+    print(json.dumps(summary, indent=2))
     return 0
 
 
@@ -155,6 +158,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("stats", help="manifest summary")
     p.add_argument("--dir", required=True)
+    p.add_argument("--columns", action="store_true",
+                   help="include file-level merged per-column statistics")
     p.set_defaults(fn=cmd_stats)
 
     p = sub.add_parser("schema", help="print encoded dataset schema as DDL")

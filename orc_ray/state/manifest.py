@@ -159,3 +159,33 @@ def manifest_summary(out_dir: str, codec_histogram: bool = True) -> dict:
     if um:
         summary["user_metadata"] = um
     return summary
+
+
+def column_stats(out_dir: str) -> dict[str, dict]:
+    """File-level per-column statistics merged across every stripe — the
+    footer ColumnStatistics analogue (columnstatistics.go:106-163), including
+    the bool bucket/true_count merge the reference stubs out
+    (columnstatistics.go:224-241).
+
+    Additive fields (num_values, sum, true_count) add; min/max fold; the
+    column's null_count accumulates into has_null."""
+    t = read_manifest(out_dir)
+    merged: dict[str, dict] = {}
+    for mj in t.column("meta_json").to_pylist():
+        meta = json.loads(mj)
+        for cm in meta["columns"]:
+            st = cm.get("stats")
+            if st is None:
+                continue
+            m = merged.setdefault(
+                cm["name"], {"num_values": 0, "has_null": False})
+            m["num_values"] += st.get("num_values", 0)
+            m["has_null"] = m["has_null"] or cm.get("null_count", 0) > 0
+            for k in ("sum", "true_count"):
+                if k in st:
+                    m[k] = m.get(k, 0) + st[k]
+            if "min" in st:
+                m["min"] = st["min"] if "min" not in m else min(m["min"], st["min"])
+            if "max" in st:
+                m["max"] = st["max"] if "max" not in m else max(m["max"], st["max"])
+    return merged

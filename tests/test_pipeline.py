@@ -217,3 +217,59 @@ def test_user_metadata_roundtrip(ray_session, token_shards, tmp_path):
     # config dict round-trip (what actor pools receive)
     assert EncoderConfig.from_dict(cfg.to_dict()).user_metadata == \
         cfg.user_metadata
+
+
+def test_file_level_column_stats_merge(tmp_path):
+    """A6: file-level column-statistics merge across stripes, including the
+    bool bucket/true_count merge the reference stubs out
+    (columnstatistics.go:224-241). Additive fields add, min/max fold,
+    null_count feeds has_null."""
+    import json as _json
+
+    from orc_ray.stripe import encode_table
+
+    out = str(tmp_path / "enc_stats")
+    mf.ensure_dirs(out)
+    rng = np.random.default_rng(7)
+    rows = []
+    exp_true = exp_vals = 0
+    exp_min, exp_max, exp_sum = None, None, 0
+    for stripe in range(3):
+        n = 400
+        flags = rng.integers(0, 2, n).astype(bool)
+        ints = rng.integers(-1000, 1000, n)
+        fmask = rng.random(n) < 0.1
+        floats = pa.array(
+            np.where(fmask, np.nan, rng.random(n)), type=pa.float64(),
+            mask=fmask)
+        t = pa.table({
+            "flag": pa.array(flags),
+            "score": pa.array(ints, type=pa.int64()),
+            "ratio": floats,
+        })
+        blob, meta = encode_table(t)
+        rel = mf.write_blob_atomic(out, 0, stripe, blob)
+        rows.append({
+            "partition_id": 0, "stripe_id": stripe, "blob_path": rel,
+            "num_rows": n, "num_tokens": 0, "raw_bytes": t.nbytes,
+            "encoded_bytes": len(blob), "input_file": "synth",
+            "row_start": stripe * n, "row_count": n,
+            "first_doc_id": "", "last_doc_id": "",
+            "meta_json": _json.dumps(meta, separators=(",", ":")),
+        })
+        exp_true += int(flags.sum())
+        exp_vals += n
+        exp_min = int(ints.min()) if exp_min is None else min(exp_min, int(ints.min()))
+        exp_max = int(ints.max()) if exp_max is None else max(exp_max, int(ints.max()))
+        exp_sum += int(ints.sum())
+    mf.commit_partition(out, 0, rows)
+
+    stats = mf.column_stats(out)
+    assert stats["flag"]["true_count"] == exp_true
+    assert stats["flag"]["num_values"] == exp_vals
+    assert not stats["flag"]["has_null"]
+    assert stats["score"]["min"] == exp_min
+    assert stats["score"]["max"] == exp_max
+    assert stats["score"]["sum"] == exp_sum
+    assert stats["ratio"]["has_null"]
+    assert stats["ratio"]["num_values"] < exp_vals
