@@ -46,6 +46,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip": q.q_events_roundtrip,
         "words_roundtrip": q.q_words_roundtrip,
         "map_roundtrip": q.q_map_roundtrip,
+        "bool_stats": q.q_bool_stats,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "words_roundtrip": q.SQL_WORDS_ROUNDTRIP,
         "map_roundtrip": q.SQL_MAP_ROUNDTRIP,
+        "bool_stats": q.SQL_BOOL_STATS,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,

@@ -199,6 +199,54 @@ SQL_MANIFEST_STATS = (
 )
 
 
+# --- q: bool_stats ---------------------------------------------------------
+
+def q_bool_stats(sf_dir: str) -> pa.Table:
+    """documents -> derive a bool column -> stripe encode -> file-level
+    column-statistics merge (A6: the bool bucket/true_count merge the
+    reference stubs out, columnstatistics.go:224-241). The merged footer
+    stats must equal a direct SQL aggregation of the source."""
+    import ray.data
+
+    out = _work_dir(sf_dir, "encoded_bool")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def derive(b: pa.Table) -> pa.Table:
+        n_chars = b.column("n_chars").cast(pa.int64())
+        return pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "is_long": pc.greater_equal(n_chars, 300),
+            "n_chars": n_chars,
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "n_chars"])
+    src = ds.map_batches(derive, batch_format="pyarrow")
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(src, out, cfg, batch_rows=4096,
+                             concurrency=4).materialize()
+    st = mf.column_stats(out)
+    return pa.table({
+        "num_docs": pa.array([st["is_long"]["num_values"]], type=pa.int64()),
+        "true_count": pa.array([st["is_long"]["true_count"]], type=pa.int64()),
+        "min_n_chars": pa.array([st["n_chars"]["min"]], type=pa.int64()),
+        "max_n_chars": pa.array([st["n_chars"]["max"]], type=pa.int64()),
+        "sum_n_chars": pa.array([st["n_chars"]["sum"]], type=pa.int64()),
+    })
+
+
+SQL_BOOL_STATS = (
+    "SELECT count(*) AS num_docs, "
+    "CAST(sum(CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS true_count, "
+    "CAST(min(n_chars) AS BIGINT) AS min_n_chars, "
+    "CAST(max(n_chars) AS BIGINT) AS max_n_chars, "
+    "CAST(sum(n_chars) AS BIGINT) AS sum_n_chars "
+    "FROM documents"
+)
+
+
 # --- q: projection ---------------------------------------------------------
 
 def q_decode_projection(sf_dir: str):
