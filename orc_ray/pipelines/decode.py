@@ -1,10 +1,16 @@
 """Decode pipeline: manifests -> stripe blobs -> Arrow batches.
 
 The analogue of Reader/Cursor (reader.go:335-338, cursor.go:29-176): the
-manifest parquet directory is the footer; ``decode_dataset`` reads it with
-``ray.data.read_parquet`` and fans stripe decodes out via ``map_batches``.
+manifest parquet directory is the footer; ``decode_dataset`` fans the
+per-partition manifest FILES out to an actor pool (each task reads its own
+tiny manifest parquet, then decodes the stripes it lists). Feeding file
+paths instead of ``ray.data.read_parquet`` rows matters at scale: a run
+with thousands of partitions would otherwise spend seconds fanning out
+sub-megabyte ReadParquet tasks whose block layout (one coarse block per
+read task) also fixes the decode task granularity — paths let the block
+count be chosen for pool balance (~8 blocks per actor) instead.
 Column projection decodes only the selected columns' streams (Select,
-cursor.go:38-41). Each manifest row yields one output block, so block sizes
+cursor.go:38-41). Each stripe yields one output block, so block sizes
 track stripe sizes and the stream stays bounded.
 """
 
@@ -36,6 +42,34 @@ class StripeDecoder:
             yield decode_blob(blob, meta, columns=self.columns)
 
 
+class ManifestShardDecoder(StripeDecoder):
+    """StripeDecoder fed manifest-file PATHS: each call reads its own
+    (tiny, single-partition) manifest parquet and decodes the stripes it
+    lists, so no driver-side manifest scan happens at all."""
+
+    def __call__(self, batch: pa.Table):
+        import pyarrow.parquet as pq
+
+        for path in batch.column("path").to_pylist():
+            man = pq.read_table(path, columns=["blob_path", "meta_json"])
+            yield from super().__call__(man)
+
+
+def manifest_file_items(out_dir: str) -> list[dict]:
+    """Per-partition manifest files as from_items rows (the decode fan-out
+    work units)."""
+    mdir = mf.manifest_dir(out_dir)
+    return [{"path": os.path.join(mdir, f)}
+            for f in sorted(os.listdir(mdir)) if f.endswith(".parquet")]
+
+
+def _pool_blocks(n_items: int, concurrency) -> int:
+    """~8 blocks per actor bounds both the driver-side from_items block
+    cost and the straggler tail (see encode_job)."""
+    hi = max(concurrency) if isinstance(concurrency, tuple) else concurrency
+    return max(1, min(n_items, hi * 8))
+
+
 def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
@@ -48,9 +82,11 @@ def decode_dataset(
 
     if concurrency is None:
         concurrency = _default_concurrency()
-    man = ray.data.read_parquet(mf.manifest_dir(out_dir))
-    return man.map_batches(
-        StripeDecoder,
+    items = manifest_file_items(out_dir)
+    ds = ray.data.from_items(
+        items, override_num_blocks=_pool_blocks(len(items), concurrency))
+    return ds.map_batches(
+        ManifestShardDecoder,
         fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
         batch_size=None,
         batch_format="pyarrow",

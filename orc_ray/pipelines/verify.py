@@ -139,41 +139,44 @@ def verify_roundtrip(original_ds, decoded_ds) -> dict:
 class _DecodeChecksum:
     """Fused decode+checksum stage: decoded stripes are hashed inside the
     same actor, so the full decoded data never crosses the object store
-    (only (count, sum, xor) triples do)."""
+    (only (count, sum, xor) triples do). Fed manifest-file paths — each
+    call reads its own tiny manifest parquet, then its stripes."""
 
     def __init__(self, out_dir: str):
-        from .decode import StripeDecoder
+        from .decode import ManifestShardDecoder
 
-        self.dec = StripeDecoder(out_dir)
+        self.dec = ManifestShardDecoder(out_dir)
 
-    def __call__(self, man: pa.Table) -> pa.Table:
-        outs = [_partial(t) for t in self.dec(man)]
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        outs = [_partial(t) for t in self.dec(batch)]
         if not outs:
             return _partial(pa.table({"count": pa.array([], type=pa.int64())})).slice(0, 0)
         return pa.concat_tables(outs)
 
 
-def checksum_encoded(out_dir: str, concurrency=None,
-                     stripes_per_task: int = 4) -> dict:
+def checksum_encoded(out_dir: str, concurrency=None) -> dict:
     """Streaming checksum of an encoded directory (decode fused in).
 
-    Several stripes batch into one task (``stripes_per_task``): per-task
-    fixed costs (submission, actor dispatch, block handoff) dominated the
-    wall clock at batch_size=1 — decode work per stripe is only tens of
-    milliseconds at the default stripe size."""
+    The work units are per-partition manifest FILES packed ~8 blocks per
+    actor: reading thousands of sub-megabyte manifests through
+    ``ray.data.read_parquet`` cost seconds of fan-out AND fixed the task
+    granularity at one coarse block per read task (ragged multi-round
+    tail); path items make both the fan-out and the tail quantum cheap."""
     import ray.data
 
     from .._tuning import remote_args
-    from ..state import manifest as mf
+    from .decode import _pool_blocks, manifest_file_items
     from .encode import _default_concurrency
 
     if concurrency is None:
         concurrency = _default_concurrency()
-    man = ray.data.read_parquet(mf.manifest_dir(out_dir))
-    parts = man.map_batches(
+    items = manifest_file_items(out_dir)
+    ds = ray.data.from_items(
+        items, override_num_blocks=_pool_blocks(len(items), concurrency))
+    parts = ds.map_batches(
         _DecodeChecksum,
         fn_constructor_kwargs={"out_dir": out_dir},
-        batch_size=stripes_per_task,
+        batch_size=None,
         batch_format="pyarrow",
         concurrency=concurrency,
         num_cpus=1,
