@@ -91,7 +91,9 @@ def bench_input(sf_dir: str, rows_override: int | None = None) -> tuple[list[str
 
     name = sf_name(sf_dir)
     rows = rows_override or ROWS_BY_SF.get(name, 30_000)
-    d = f"{BENCH_BASE}/{name}/input"
+    # keyed by row count so an overridden-rows corpus (e.g. the 4x scaling
+    # input) coexists with the default one instead of wiping it
+    d = f"{BENCH_BASE}/{name}/input-{rows}"
     marker = os.path.join(d, f".complete-{rows}")
     if not os.path.exists(marker):
         import shutil

@@ -180,14 +180,31 @@ def write_synthetic_shards(
     import pyarrow.parquet as pq
 
     os.makedirs(out_dir, exist_ok=True)
-    paths = []
     per = num_rows // num_shards
+    jobs = []
     for k in range(num_shards):
         rows = per if k < num_shards - 1 else num_rows - per * (num_shards - 1)
-        t = synthesize_tokens(rows, seed=seed, row_offset=k * per, **kwargs)
-        path = os.path.join(out_dir, f"tokens-{k:05d}.parquet")
-        tmp = path + ".tmp"
-        pq.write_table(t, tmp, row_group_size=rows_per_row_group)
-        os.replace(tmp, path)
-        paths.append(path)
-    return paths
+        jobs.append((out_dir, k, rows, k * per, seed,
+                     rows_per_row_group, kwargs))
+    if num_rows >= 1_000_000 and num_shards > 1:
+        # shards are independent (seed + row_offset determinism) — large
+        # corpora synthesize in parallel processes
+        import multiprocessing as mp
+
+        with mp.get_context("spawn").Pool(min(num_shards, 8)) as pool:
+            return pool.map(_write_one_shard, jobs)
+    return [_write_one_shard(j) for j in jobs]
+
+
+def _write_one_shard(job) -> str:
+    import os
+
+    import pyarrow.parquet as pq
+
+    out_dir, k, rows, row_offset, seed, rows_per_row_group, kwargs = job
+    t = synthesize_tokens(rows, seed=seed, row_offset=row_offset, **kwargs)
+    path = os.path.join(out_dir, f"tokens-{k:05d}.parquet")
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp, row_group_size=rows_per_row_group)
+    os.replace(tmp, path)
+    return path
