@@ -276,6 +276,10 @@ def main() -> None:
             "queries": {f"encode_cpus{lo}": times[lo][med_pair],
                         f"encode_cpus{hi}": times[hi][med_pair]},
             "num_cpus": hi,
+            "note": ("headline scaling measurement in BASELINE.md used "
+                     "--scaling-rows 12000000: at the default 3M-row corpus "
+                     "~5s of fixed cost (plan, pool ramp, tail) per run "
+                     "depresses the hi-cpu side ~0.1 of efficiency"),
         }
         print(json.dumps(line))
         return
