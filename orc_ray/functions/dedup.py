@@ -483,7 +483,10 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8,
     cand_ds = rd.from_arrow(pa.table({
         "doc_a": pa.array(pairs[:, 0], type=pa.int64()),
         "doc_b": pa.array(pairs[:, 1], type=pa.int64())}))
-    return cand_ds.map_batches(
+    # from_arrow yields ONE block; split it so the pool gets >= 1 task per
+    # actor (pairs are metadata-sized, the repartition is trivial)
+    n_blocks = max(2, min(8, (len(pairs) + 511) // 512))
+    return cand_ds.repartition(n_blocks).map_batches(
         _VerifyWithStore,
         fn_constructor_kwargs={"store_ref": store_ref, "threshold": threshold},
         batch_format="pyarrow", concurrency=2, num_cpus=1)

@@ -70,27 +70,53 @@ def _pool_blocks(n_items: int, concurrency) -> int:
     return max(1, min(n_items, hi * 8))
 
 
+def clamp_concurrency(concurrency, n_units: int):
+    """A pool larger than its work-unit count just spins idle actors."""
+    n = max(1, n_units)
+    if isinstance(concurrency, tuple):
+        return (min(concurrency[0], n), min(concurrency[1], n))
+    return min(concurrency, n)
+
+
+def manifest_feed(out_dir: str, concurrency):
+    """(dataset, decoder_cls, n_units) feeding a decode pool. Big
+    directories fan out manifest-file paths (no driver-side manifest
+    scan); directories with fewer manifest files than pool actors fall
+    back to per-stripe manifest ROWS (each file lists several stripes) so
+    every actor still gets work — the driver read of a handful of tiny
+    files is free."""
+    import ray.data
+
+    items = manifest_file_items(out_dir)
+    hi = max(concurrency) if isinstance(concurrency, tuple) else concurrency
+    if len(items) >= hi:
+        ds = ray.data.from_items(
+            items, override_num_blocks=_pool_blocks(len(items), concurrency))
+        return ds, ManifestShardDecoder, len(items)
+    man = mf.read_manifest(out_dir).select(["blob_path", "meta_json"])
+    ds = ray.data.from_arrow(man)
+    if man.num_rows > 1:
+        ds = ds.repartition(_pool_blocks(man.num_rows, concurrency))
+    return ds, StripeDecoder, man.num_rows
+
+
 def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
     concurrency: int | tuple[int, int] | None = None,
 ):
     """Lazy decoded Dataset over an encoded directory."""
-    import ray.data
-
     from .encode import _default_concurrency
 
     if concurrency is None:
         concurrency = _default_concurrency()
-    items = manifest_file_items(out_dir)
-    ds = ray.data.from_items(
-        items, override_num_blocks=_pool_blocks(len(items), concurrency))
+    ds, cls, n_units = manifest_feed(out_dir, concurrency)
     return ds.map_batches(
-        ManifestShardDecoder,
+        cls,
         fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
         batch_size=None,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=clamp_concurrency(concurrency, n_units),
         num_cpus=1,
         **remote_args(),
     )
@@ -138,7 +164,12 @@ def decode_dataset_filtered(
     want = None
     if columns is not None:
         want = list(dict.fromkeys(list(columns) + [column]))
+    # from_arrow yields ONE block; split the (metadata-sized) surviving
+    # manifest rows so every pool actor gets work
     ds = ray.data.from_arrow(pruned)
+    if pruned.num_rows > 1:
+        ds = ds.repartition(_pool_blocks(pruned.num_rows, concurrency))
+    concurrency = clamp_concurrency(concurrency, pruned.num_rows)
 
     class _FilterDecoder(StripeDecoder):
         def __call__(self, man_b: pa.Table):

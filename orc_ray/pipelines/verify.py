@@ -142,10 +142,11 @@ class _DecodeChecksum:
     (only (count, sum, xor) triples do). Fed manifest-file paths — each
     call reads its own tiny manifest parquet, then its stripes."""
 
-    def __init__(self, out_dir: str):
-        from .decode import ManifestShardDecoder
+    def __init__(self, out_dir: str, use_paths: bool = True):
+        from .decode import ManifestShardDecoder, StripeDecoder
 
-        self.dec = ManifestShardDecoder(out_dir)
+        cls = ManifestShardDecoder if use_paths else StripeDecoder
+        self.dec = cls(out_dir)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         outs = [_partial(t) for t in self.dec(batch)]
@@ -162,23 +163,20 @@ def checksum_encoded(out_dir: str, concurrency=None) -> dict:
     ``ray.data.read_parquet`` cost seconds of fan-out AND fixed the task
     granularity at one coarse block per read task (ragged multi-round
     tail); path items make both the fan-out and the tail quantum cheap."""
-    import ray.data
-
     from .._tuning import remote_args
-    from .decode import _pool_blocks, manifest_file_items
+    from .decode import ManifestShardDecoder, clamp_concurrency, manifest_feed
     from .encode import _default_concurrency
 
     if concurrency is None:
         concurrency = _default_concurrency()
-    items = manifest_file_items(out_dir)
-    ds = ray.data.from_items(
-        items, override_num_blocks=_pool_blocks(len(items), concurrency))
+    ds, cls, n_units = manifest_feed(out_dir, concurrency)
     parts = ds.map_batches(
         _DecodeChecksum,
-        fn_constructor_kwargs={"out_dir": out_dir},
+        fn_constructor_kwargs={"out_dir": out_dir,
+                               "use_paths": cls is ManifestShardDecoder},
         batch_size=None,
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=clamp_concurrency(concurrency, n_units),
         num_cpus=1,
         **remote_args(),
     ).take_all()
