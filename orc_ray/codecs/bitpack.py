@@ -13,6 +13,8 @@ closest fixed / closest aligned widths).
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _U64 = np.uint64
@@ -121,10 +123,32 @@ def pack_bits(vals: np.ndarray, width: int) -> bytes:
         k = width // 8
         be = vals.byteswap().view(_U8).reshape(n, 8)[:, 8 - k:]
         return np.ascontiguousarray(be).tobytes()
-    # generic: explicit bit matrix, MSB-first per value
-    shifts = (_U64(width) - _U64(1) - np.arange(width, dtype=_U64))
-    bits = ((vals[:, None] >> shifts[None, :]) & _U64(1)).astype(_U8)
-    return np.packbits(bits.ravel()).tobytes()
+    return _pack_odd(vals, width)
+
+
+def _pack_odd(vals: np.ndarray, width: int) -> bytes:
+    """Odd-width packer via byte-aligned groups: g = 8/gcd(width,8) values
+    occupy exactly g*width/8 output bytes, so each value j in a group
+    contributes fixed byte-slices — O(width) vectorized shift/OR passes over
+    n/g-length arrays instead of an (n, width) bit matrix (which costs
+    ~width*8 bytes of intermediate traffic per value and falls off a cliff
+    on multi-million-value stripes)."""
+    n = len(vals)
+    g = 8 // math.gcd(width, 8)
+    ngrp = (n + g - 1) // g
+    if ngrp * g != n:
+        vals = np.concatenate([vals, np.zeros(ngrp * g - n, dtype=vals.dtype)])
+    v2 = vals.reshape(ngrp, g)
+    out = np.zeros((ngrp, g * width // 8), dtype=_U8)
+    wide = vals.dtype
+    for j in range(g):
+        vj = v2[:, j]
+        bit0 = j * width
+        for b in range(bit0 // 8, (bit0 + width - 1) // 8 + 1):
+            s = (bit0 + width) - (8 * b + 8)
+            part = (vj >> wide.type(s)) if s >= 0 else (vj << wide.type(-s))
+            out[:, b] |= (part & wide.type(0xFF)).astype(_U8)
+    return out.tobytes()[: (n * width + 7) // 8]
 
 
 def _pack_bits_u32(vals: np.ndarray, width: int) -> bytes:
@@ -142,10 +166,7 @@ def _pack_bits_u32(vals: np.ndarray, width: int) -> bytes:
     if width % 8 == 0:  # 24
         be = vals.byteswap().view(_U8).reshape(n, 4)[:, 4 - width // 8:]
         return np.ascontiguousarray(be).tobytes()
-    u32 = np.uint32
-    shifts = (u32(width) - u32(1) - np.arange(width, dtype=u32))
-    bits = ((vals[:, None] >> shifts[None, :]) & u32(1)).astype(_U8)
-    return np.packbits(bits.ravel()).tobytes()
+    return _pack_odd(vals, width)
 
 
 def unpack_bits(buf, width: int, count: int, offset: int = 0) -> tuple[np.ndarray, int]:
@@ -172,8 +193,24 @@ def unpack_bits(buf, width: int, count: int, offset: int = 0) -> tuple[np.ndarra
         for j in range(k):
             out = (out << _U64(8)) | m[:, j]
         return out, offset + nbytes
-    bits = np.unpackbits(raw)[: count * width].reshape(count, width)
-    out = np.zeros(count, dtype=_U64)
-    for j in range(width):
-        out = (out << _U64(1)) | bits[:, j].astype(_U64)
-    return out, offset + nbytes
+    # odd width: inverse of _pack_odd — byte-aligned groups of g values,
+    # each value rebuilt from <= width//8 + 2 byte-slices (vectorized)
+    g = 8 // math.gcd(width, 8)
+    ngrp = (count + g - 1) // g
+    gb = g * width // 8
+    if ngrp * gb != nbytes:
+        raw = np.concatenate([raw, np.zeros(ngrp * gb - nbytes, dtype=_U8)])
+    m = raw.reshape(ngrp, gb).astype(_U64)
+    out2 = np.zeros((ngrp, g), dtype=_U64)
+    mask = (_U64(1) << _U64(width)) - _U64(1)
+    for j in range(g):
+        bit0 = j * width
+        acc = out2[:, j]
+        for b in range(bit0 // 8, (bit0 + width - 1) // 8 + 1):
+            s = (bit0 + width) - (8 * b + 8)
+            if s >= 0:
+                acc |= m[:, b] << _U64(s)
+            else:
+                acc |= m[:, b] >> _U64(-s)
+        acc &= mask
+    return out2.reshape(-1)[:count], offset + nbytes

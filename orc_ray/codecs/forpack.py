@@ -22,7 +22,12 @@ _I64 = np.int64
 
 
 def encode(values: np.ndarray) -> bytes:
-    v = np.ascontiguousarray(values, dtype=_I64)
+    if values.dtype in (np.int32, np.uint32):
+        v32 = np.ascontiguousarray(values)
+    else:
+        v32 = None
+        values = np.ascontiguousarray(values, dtype=_I64)
+    v = v32 if v32 is not None else values
     out = bytearray()
     write_vulong(out, len(v))
     if len(v) == 0:
@@ -33,6 +38,12 @@ def encode(values: np.ndarray) -> bytes:
     span = vmax - vmin  # python ints: no overflow
     width = max(1, span.bit_length())
     out.append(width)
+    if v32 is not None:
+        # int32/uint32 input: residuals stay in 32-bit space (span < 2^32
+        # by construction), halving the packer's memory traffic
+        residuals = v32.view(np.uint32) - np.uint32(vmin & 0xFFFFFFFF)
+        out.extend(pack_bits(residuals, width))
+        return bytes(out)
     # residuals computed mod 2^64: exact since 0 <= residual <= span < 2^64
     residuals = v.view(_U64) - np.uint64(vmin & 0xFFFFFFFFFFFFFFFF)
     out.extend(pack_bits(residuals, width))

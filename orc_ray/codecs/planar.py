@@ -1,0 +1,110 @@
+"""Frame-of-reference + byte-plane split codec ("planar").
+
+Same FOR model as :mod:`forpack` (subtract the chunk minimum), but instead
+of bit-packing the residuals at an odd width it stores them as
+``ceil(width/8)`` byte planes: plane p holds byte p (little-endian) of every
+residual, concatenated plane-after-plane. The point is the OUTER chunked
+zlib stage (compressioncodec.go analogue): odd-width bit-packed data is
+byte-misaligned, so deflate finds no byte matches and only its Huffman pass
+gains ~25%; splitting into planes gives each 256 KiB zlib chunk a single
+stationary byte distribution (the high plane of token ids is highly
+skewed), compressing ~30% smaller AND faster on the same data. Decode is k
+vectorized shift-ORs. The layout is analytically seekable like FOR: value
+i of plane p lives at byte ``header + p*n + i`` — no stored index needed.
+
+Layout: varint(n) + vslong(min) + u8(n_planes) + n_planes * n bytes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .varint import read_vslong, read_vulong, write_vslong, write_vulong
+
+_U64 = np.uint64
+_I64 = np.int64
+_U8 = np.uint8
+
+
+def _split_planes(res: np.ndarray, k: int) -> bytes:
+    """res: uint32 or uint64 residual array -> k concatenated byte planes."""
+    n = len(res)
+    itemsize = res.dtype.itemsize
+    le = res.view(_U8).reshape(n, itemsize)
+    # one contiguous output buffer, column-copied (planes are the transpose)
+    out = np.empty((k, n), dtype=_U8)
+    for p in range(k):
+        out[p, :] = le[:, p]
+    return out.tobytes()
+
+
+def encode(values: np.ndarray) -> bytes:
+    if values.dtype in (np.int32, np.uint32):
+        v = np.ascontiguousarray(values)
+        narrow = True
+    else:
+        v = np.ascontiguousarray(values, dtype=_I64)
+        narrow = False
+    out = bytearray()
+    write_vulong(out, len(v))
+    if len(v) == 0:
+        return bytes(out)
+    vmin = int(v.min())
+    vmax = int(v.max())
+    write_vslong(out, vmin)
+    span = vmax - vmin  # python ints: no overflow
+    k = max(1, (span.bit_length() + 7) // 8)
+    out.append(k)
+    if narrow and k <= 4:
+        res = v.view(np.uint32) - np.uint32(vmin & 0xFFFFFFFF)
+    else:
+        res = v.view(_U64) - _U64(vmin & 0xFFFFFFFFFFFFFFFF)
+    out.extend(_split_planes(res, k))
+    return bytes(out)
+
+
+def decode(buf: bytes) -> np.ndarray:
+    n, pos = read_vulong(buf, 0)
+    if n == 0:
+        return np.empty(0, dtype=_I64)
+    vmin, pos = read_vslong(buf, pos)
+    k = buf[pos]
+    pos += 1
+    planes = np.frombuffer(buf, dtype=_U8, count=k * n, offset=pos).reshape(k, n)
+    return _assemble(planes, k, vmin)
+
+
+def _assemble(planes: np.ndarray, k: int, vmin: int) -> np.ndarray:
+    res = planes[k - 1].astype(_U64)
+    for p in range(k - 2, -1, -1):
+        res <<= _U64(8)
+        res |= planes[p]
+    return (res + _U64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+
+
+def parse_header(head: bytes) -> tuple[int, int, int, int]:
+    """(n, vmin, n_planes, header_size) from the first bytes of a planar
+    stream. Value i of plane p is at byte header_size + p*n + i — the
+    codec is analytically seekable, like FOR."""
+    n, pos = read_vulong(head, 0)
+    if n == 0:
+        return 0, 0, 0, pos
+    vmin, pos = read_vslong(head, pos)
+    return n, vmin, head[pos], pos + 1
+
+
+def plane_ranges(lo: int, hi: int, n: int, k: int,
+                 header: int) -> list[tuple[int, int]]:
+    """The k raw-byte ranges [byte_lo, byte_hi) covering values [lo, hi)."""
+    return [(header + p * n + lo, header + p * n + hi) for p in range(k)]
+
+
+def decode_range(plane_payloads: list[bytes], lo: int, hi: int,
+                 vmin: int) -> np.ndarray:
+    """Decode values [lo, hi) from the per-plane payload byte slices."""
+    k = len(plane_payloads)
+    m = hi - lo
+    planes = np.empty((k, m), dtype=_U8)
+    for p, payload in enumerate(plane_payloads):
+        planes[p, :] = np.frombuffer(payload, dtype=_U8, count=m)
+    return _assemble(planes, k, vmin)

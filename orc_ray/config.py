@@ -21,7 +21,7 @@ class EncoderConfig:
     # dictionary iff distinct/total <= threshold (treewriter.go:537)
     dict_threshold: float = 0.49
     # candidates for integer DATA streams, in preference order on ties
-    int_candidates: tuple[str, ...] = ("rle2", "rle2_delta", "for")
+    int_candidates: tuple[str, ...] = ("rle2", "rle2_delta", "for", "planar")
     # string blob handling: auto tries fsst/zlib/none by measured size
     string_blob_candidates: tuple[str, ...] = ("fsst", "zlib", "none")
     # outer chunked-zlib over each encoded stream (compressioncodec.go):

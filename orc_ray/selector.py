@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .codecs import forpack, rle2
+from .codecs import forpack, planar, rle2, zlibchunk
 from .config import EncoderConfig
 
 
@@ -58,6 +58,8 @@ def encode_int_stream(values: np.ndarray, codec: str, signed: bool) -> bytes:
         return rle2.encode(_delta_view(values), True)
     if codec == "for":
         return forpack.encode(values)
+    if codec == "planar":
+        return planar.encode(values)
     if codec == "bytes":
         return np.ascontiguousarray(values, dtype=np.int64).tobytes()
     raise ValueError(f"unknown int codec {codec!r}")
@@ -71,6 +73,8 @@ def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int,
         return np.cumsum(rle2.decode(buf, True, n), dtype=np.int64)
     if codec == "for":
         return forpack.decode(buf)
+    if codec == "planar":
+        return planar.decode(buf)
     if codec == "bytes":
         return np.frombuffer(buf, dtype=np.int64, count=n)
     raise ValueError(f"unknown int codec {codec!r}")
@@ -87,10 +91,17 @@ def choose_int_codec(
     if len(candidates) == 1 or len(values) == 0:
         return candidates[0]
     s = _sample(values, config.selector_sample_values)
+    # measure what actually hits disk: the outer chunked-zlib stage keeps
+    # the smaller of (raw, deflated) per stream, and codecs differ sharply
+    # in how zlib-friendly their output is (byte-planes vs odd-width packs)
+    post_zlib = config.outer_compression != "none"
     best, best_size = None, None
     for c in candidates:
         try:
-            size = len(encode_int_stream(s, c, signed))
+            enc = encode_int_stream(s, c, signed)
+            size = len(enc)
+            if post_zlib:
+                size = min(size, len(zlibchunk.compress(enc, level=config.zlib_level)))
         except Exception:
             continue
         if best_size is None or size < best_size:

@@ -129,6 +129,14 @@ class _BlobWriter:
             n_, vmin_, width_, hdr_ = forpack.parse_header(data[:24])
             rec["for_header"] = [int(n_), int(vmin_), int(width_), int(hdr_)]
             seekable = True
+        # planar streams: value i of plane p is at byte hdr + p*n + i —
+        # analytically seekable the same way, one range per plane
+        if codec == "planar" and raw_len >= self.MIN_INDEX_BYTES and self.stride:
+            from .codecs import planar as _planar
+
+            n_, vmin_, k_, hdr_ = _planar.parse_header(data[:24])
+            rec["planar_header"] = [int(n_), int(vmin_), int(k_), int(hdr_)]
+            seekable = True
         # raw fixed-width payloads (float streams) are analytically
         # seekable too: byte range of values [lo, hi) is pure math — mark
         # them so an outer zlib gets a chunk index for range reads
@@ -911,6 +919,20 @@ def _int_range(reader: RangeReader, rec: dict, lo: int, hi: int,
         byte_lo, byte_hi, lo2 = forpack.range_bytes(lo, hi, width, hdr)
         payload = _raw_range(reader, rec, byte_lo, byte_hi)
         vals = forpack.decode_range(payload, lo2, lo, hi, vmin, width)
+        return vals.astype(out_dtype, copy=False)
+    if codec == "planar" and (rec.get("outer", "none") != "zlib"
+                              or "chunk_offsets" in rec):
+        from .codecs import planar
+
+        if "planar_header" in rec:
+            n, vmin, k, hdr = rec["planar_header"]
+        else:
+            head = _raw_range(reader, rec, 0, min(24, rec["raw_length"]))
+            n, vmin, k, hdr = planar.parse_header(head)
+        hi = min(hi, n)
+        payloads = [_raw_range(reader, rec, blo, bhi)
+                    for blo, bhi in planar.plane_ranges(lo, hi, n, k, hdr)]
+        vals = planar.decode_range(payloads, lo, hi, vmin)
         return vals.astype(out_dtype, copy=False)
     if vindex is None or codec not in ("rle2", "rle2_delta"):
         data = _raw_range(reader, rec, 0, rec["raw_length"])

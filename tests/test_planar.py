@@ -1,0 +1,70 @@
+"""Planar (FOR + byte-plane split) codec: round-trip, seekability, and
+selector integration. The codec exists because the outer chunked-zlib stage
+(compressioncodec.go analogue) compresses byte-aligned planes ~30% smaller
+than odd-width bit-packed residuals on token-id distributions."""
+
+import numpy as np
+import pytest
+
+from orc_ray.codecs import planar
+from orc_ray.config import EncoderConfig
+from orc_ray.selector import choose_int_codec, decode_int_stream, encode_int_stream
+
+
+@pytest.mark.parametrize("dtype", [np.int32, np.int64, np.uint32])
+@pytest.mark.parametrize("span,base", [(1, 0), (200, -100), (70_000, 0),
+                                       (2**31 - 1, -2**30)])
+def test_roundtrip(dtype, span, base):
+    if dtype == np.uint32 and base < 0:
+        base = 0
+    rng = np.random.default_rng(42)
+    v = rng.integers(base, base + span, 10_000).astype(dtype)
+    out = planar.decode(planar.encode(v))
+    assert out.dtype == np.int64
+    assert np.array_equal(out, v.astype(np.int64))
+
+
+def test_empty_and_single():
+    assert len(planar.decode(planar.encode(np.empty(0, dtype=np.int64)))) == 0
+    one = np.array([-7], dtype=np.int64)
+    assert np.array_equal(planar.decode(planar.encode(one)), one)
+
+
+def test_wide_span_int64():
+    v = np.array([-2**40, 0, 2**40, 12345], dtype=np.int64)
+    assert np.array_equal(planar.decode(planar.encode(v)), v)
+
+
+def test_range_decode_matches_slice():
+    rng = np.random.default_rng(7)
+    v = rng.integers(0, 50_257, 5_000).astype(np.int32)
+    buf = planar.encode(v)
+    n, vmin, k, hdr = planar.parse_header(buf[:24])
+    assert n == len(v)
+    lo, hi = 1234, 2345
+    payloads = [buf[a:b] for a, b in planar.plane_ranges(lo, hi, n, k, hdr)]
+    # the range read touches exactly k*(hi-lo) payload bytes
+    assert sum(len(p) for p in payloads) == k * (hi - lo)
+    got = planar.decode_range(payloads, lo, hi, vmin)
+    assert np.array_equal(got, v[lo:hi].astype(np.int64))
+
+
+def test_selector_dispatch():
+    v = np.arange(1000, dtype=np.int64)
+    buf = encode_int_stream(v, "planar", True)
+    assert np.array_equal(decode_int_stream(buf, "planar", True, len(v)), v)
+
+
+def test_selector_prefers_planar_on_tokenlike_data_post_zlib():
+    """Uniform token ids in [0, 50k): odd-width FOR beats planar pre-zlib,
+    but planar wins after the outer zlib stage — the selector must measure
+    the post-zlib size."""
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 50_257, 200_000).astype(np.int32)
+    cfg = EncoderConfig()
+    assert cfg.outer_compression != "none"
+    choice = choose_int_codec(v, False, cfg)
+    assert choice == "planar"
+    # with the outer stage disabled the raw-size ranking returns
+    cfg_raw = EncoderConfig(outer_compression="none")
+    assert choose_int_codec(v, False, cfg_raw) != "planar"
