@@ -63,23 +63,34 @@ def encode(values: np.ndarray) -> bytes:
     return bytes(out)
 
 
-def decode(buf: bytes) -> np.ndarray:
+def decode(buf: bytes, out_dtype=np.int64) -> np.ndarray:
     n, pos = read_vulong(buf, 0)
     if n == 0:
-        return np.empty(0, dtype=_I64)
+        return np.empty(0, dtype=out_dtype)
     vmin, pos = read_vslong(buf, pos)
     k = buf[pos]
     pos += 1
     planes = np.frombuffer(buf, dtype=_U8, count=k * n, offset=pos).reshape(k, n)
-    return _assemble(planes, k, vmin)
+    return _assemble(planes, k, vmin, out_dtype)
 
 
-def _assemble(planes: np.ndarray, k: int, vmin: int) -> np.ndarray:
+def _assemble(planes: np.ndarray, k: int, vmin: int,
+              out_dtype=np.int64) -> np.ndarray:
+    if out_dtype == np.int32 and k <= 4:
+        # caller guarantees the true values fit int32 (they were encoded
+        # from an int32 column), so mod-2^32 arithmetic is exact — half
+        # the memory traffic of the 64-bit assemble on the hottest stream
+        res32 = planes[k - 1].astype(np.uint32)
+        for p in range(k - 2, -1, -1):
+            res32 <<= np.uint32(8)
+            res32 |= planes[p]
+        return (res32 + np.uint32(vmin & 0xFFFFFFFF)).view(np.int32)
     res = planes[k - 1].astype(_U64)
     for p in range(k - 2, -1, -1):
         res <<= _U64(8)
         res |= planes[p]
-    return (res + _U64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+    out = (res + _U64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+    return out if out_dtype == np.int64 else out.astype(out_dtype, copy=False)
 
 
 def parse_header(head: bytes) -> tuple[int, int, int, int]:
@@ -100,11 +111,11 @@ def plane_ranges(lo: int, hi: int, n: int, k: int,
 
 
 def decode_range(plane_payloads: list[bytes], lo: int, hi: int,
-                 vmin: int) -> np.ndarray:
+                 vmin: int, out_dtype=np.int64) -> np.ndarray:
     """Decode values [lo, hi) from the per-plane payload byte slices."""
     k = len(plane_payloads)
     m = hi - lo
     planes = np.empty((k, m), dtype=_U8)
     for p, payload in enumerate(plane_payloads):
         planes[p, :] = np.frombuffer(payload, dtype=_U8, count=m)
-    return _assemble(planes, k, vmin)
+    return _assemble(planes, k, vmin, out_dtype)

@@ -21,6 +21,16 @@ import pyarrow as pa
 _U64 = np.uint64
 _P = _U64(0x100000001B3)  # FNV-ish odd multiplier
 _K = _U64(0x9E3779B97F4A7C15)
+_PINV = _U64(pow(int(_P), -1, 1 << 64))  # P is odd => invertible mod 2^64
+
+# blocked power table: P^i = SMALL[i % B] * (P^B)^(i // B). Building it is
+# one parallelizable multiply pass instead of a serial length-m cumprod —
+# the checksum was the dominant cost of the fused decode+verify task.
+_B = 4096
+_SMALL = np.empty(_B, dtype=_U64)
+_SMALL[0] = 1
+np.cumprod(np.full(_B - 1, _P, dtype=_U64), out=_SMALL[1:])
+_PB = _U64((int(_SMALL[-1]) * int(_P)) & 0xFFFFFFFFFFFFFFFF)
 
 
 def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
@@ -38,23 +48,36 @@ def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
     return result
 
 
+def _pow_table(m: int) -> np.ndarray:
+    """[P^0, P^1, ..., P^(m-1)] mod 2^64 via the blocked construction."""
+    nb = (m + _B - 1) // _B
+    blockpows = np.empty(nb, dtype=_U64)
+    blockpows[0] = 1
+    if nb > 1:
+        np.cumprod(np.full(nb - 1, _PB, dtype=_U64), out=blockpows[1:])
+    tab = np.multiply(blockpows[:, None], _SMALL[None, :])
+    return tab.reshape(-1)[:m]
+
+
 def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
-    """Per-segment hash sum((v+K) * P^pos_in_segment) mod 2^64. Powers come
-    from one wrapped cumprod table + a gather (positions repeat per row)."""
+    """Per-segment hash sum((v+K) * P^pos_in_segment) mod 2^64.
+
+    Computed as P^(-start) * sum((v_i+K) * P^i) over GLOBAL positions i —
+    bit-identical to the per-segment formulation (P odd => P^-1 exists mod
+    2^64) but needs no per-value position gather / np.repeat: one global
+    power table, one reduceat, one row-count-sized inverse-power pass."""
     n = len(offsets) - 1
     if len(values) == 0:
         return np.zeros(n, dtype=_U64)
+    terms = values.astype(_U64)
+    terms += _K
+    terms *= _pow_table(len(values))
     lengths = np.diff(offsets)
-    pos = np.arange(len(values), dtype=np.int64) - np.repeat(offsets[:-1], lengths)
-    maxlen = int(lengths.max())
-    table = np.empty(maxlen, dtype=_U64)
-    table[0] = 1
-    if maxlen > 1:
-        np.cumprod(np.full(maxlen - 1, _P, dtype=_U64), out=table[1:])
-    terms = (values.astype(_U64) + _K) * table[pos]
     out = np.zeros(n, dtype=_U64)
-    seg_sums = np.add.reduceat(terms, offsets[:-1][lengths > 0])
-    out[lengths > 0] = seg_sums
+    nz = lengths > 0
+    starts = offsets[:-1][nz]
+    seg_sums = np.add.reduceat(terms, starts)
+    out[nz] = seg_sums * _pow_mod64(_PINV, starts.astype(np.int64))
     return out
 
 

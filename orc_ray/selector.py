@@ -74,7 +74,7 @@ def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int,
     if codec == "for":
         return forpack.decode(buf)
     if codec == "planar":
-        return planar.decode(buf)
+        return planar.decode(buf, out_dtype=out_dtype)
     if codec == "bytes":
         return np.frombuffer(buf, dtype=np.int64, count=n)
     raise ValueError(f"unknown int codec {codec!r}")

@@ -671,7 +671,7 @@ def _decode_column(fetch, cm, t, streams, n_rows) -> pa.Array:
         # decode straight into 32-bit when the target type guarantees the
         # values fit — halves the hottest streams' memory traffic
         out_dtype = np.int64
-        if rec["codec"] == "rle2" and pa.types.is_integer(t):
+        if rec["codec"] in ("rle2", "planar") and pa.types.is_integer(t):
             bits = t.bit_width
             if (bits <= 32 and pa.types.is_signed_integer(t)) or bits <= 16:
                 out_dtype = np.int32
@@ -728,7 +728,8 @@ def _decode_column(fetch, cm, t, streams, n_rows) -> pa.Array:
             data_rec = _rec(streams, name, "DATA")
             child_np = np.dtype(t.value_type.to_pandas_dtype()) \
                 if pa.types.is_integer(t.value_type) else np.int64
-            out_dtype = np.int32 if (child_np == np.int32 and data_rec["codec"] == "rle2") else np.int64
+            out_dtype = np.int32 if (child_np == np.int32 and data_rec["codec"]
+                                     in ("rle2", "planar")) else np.int64
             vals = decode_int_stream(fetch(data_rec), data_rec["codec"],
                                      data_rec.get("signed", True), total,
                                      out_dtype=out_dtype)
@@ -932,7 +933,8 @@ def _int_range(reader: RangeReader, rec: dict, lo: int, hi: int,
         hi = min(hi, n)
         payloads = [_raw_range(reader, rec, blo, bhi)
                     for blo, bhi in planar.plane_ranges(lo, hi, n, k, hdr)]
-        vals = planar.decode_range(payloads, lo, hi, vmin)
+        vals = planar.decode_range(payloads, lo, hi, vmin,
+                                   out_dtype=out_dtype)
         return vals.astype(out_dtype, copy=False)
     if vindex is None or codec not in ("rle2", "rle2_delta"):
         data = _raw_range(reader, rec, 0, rec["raw_length"])
@@ -1024,7 +1026,7 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
     if enc == "int":
         rec = streams[(name, "DATA")]
         out_dtype = np.int64
-        if rec["codec"] == "rle2" and pa.types.is_integer(t):
+        if rec["codec"] in ("rle2", "planar") and pa.types.is_integer(t):
             bits = t.bit_width
             if (bits <= 32 and pa.types.is_signed_integer(t)) or bits <= 16:
                 out_dtype = np.int32

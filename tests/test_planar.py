@@ -68,3 +68,23 @@ def test_selector_prefers_planar_on_tokenlike_data_post_zlib():
     # with the outer stage disabled the raw-size ranking returns
     cfg_raw = EncoderConfig(outer_compression="none")
     assert choose_int_codec(v, False, cfg_raw) != "planar"
+
+
+@pytest.mark.parametrize("base", [0, -100, 2**20])
+def test_int32_assemble_path(base):
+    """out_dtype=int32 assembles in 32-bit space and matches the 64-bit
+    decode exactly (the hot token-stream path)."""
+    rng = np.random.default_rng(11)
+    v = (rng.integers(0, 50_257, 20_000) + base).astype(np.int32)
+    buf = planar.encode(v)
+    got32 = planar.decode(buf, out_dtype=np.int32)
+    assert got32.dtype == np.int32
+    assert np.array_equal(got32, v)
+    assert np.array_equal(got32.astype(np.int64), planar.decode(buf))
+    # range decode takes the same 32-bit path
+    n, vmin, k, hdr = planar.parse_header(buf[:24])
+    lo, hi = 111, 3333
+    payloads = [buf[a:b] for a, b in planar.plane_ranges(lo, hi, n, k, hdr)]
+    got_r = planar.decode_range(payloads, lo, hi, vmin, out_dtype=np.int32)
+    assert got_r.dtype == np.int32
+    assert np.array_equal(got_r, v[lo:hi])

@@ -4,7 +4,7 @@ randomized strategy, strengthened with shrinking)."""
 import numpy as np
 from hypothesis import given, settings, strategies as st
 
-from orc_ray.codecs import byterle, forpack, rle1, rle2
+from orc_ray.codecs import byterle, forpack, planar, rle1, rle2
 from orc_ray.codecs.timestamp import join_ns, split_ns
 
 int64s = st.integers(min_value=-(2**63), max_value=2**63 - 1)
@@ -57,6 +57,25 @@ def test_rle1_roundtrip_property(arr, signed):
 def test_forpack_roundtrip_property(vals):
     arr = np.array(vals, dtype=np.int64)
     np.testing.assert_array_equal(forpack.decode(forpack.encode(arr)), arr)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(int64s, min_size=0, max_size=300))
+def test_planar_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.int64)
+    np.testing.assert_array_equal(planar.decode(planar.encode(arr)), arr)
+
+
+int32s = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=40, deadline=None)
+@given(vals=st.lists(int32s, min_size=0, max_size=300))
+def test_planar_int32_out_dtype_property(vals):
+    arr = np.array(vals, dtype=np.int32)
+    got = planar.decode(planar.encode(arr), out_dtype=np.int32)
+    assert got.dtype == np.int32
+    np.testing.assert_array_equal(got, arr)
 
 
 @settings(max_examples=40, deadline=None)
