@@ -296,3 +296,45 @@ def test_long_word_hash_truncation_matches_sql():
     mine = dedup.simhash_near_pairs(sigs, max_hamming=3)
     assert mine.to_pylist() == oracle.to_pylist()
     assert mine.num_rows == 1 and mine.column("hamming")[0].as_py() == 0
+
+
+def test_dedup_degenerate_corpus(ray_session):
+    """Adversarial probe: empty texts, one-word docs, and a 300-copy
+    identical cluster through minhash + simhash — skew guards and
+    empty-shingle edges must neither crash nor drop the cluster (300 is
+    far under MAX_RUN)."""
+    import warnings
+
+    import ray.data
+
+    n_cluster = 300
+    texts = ([""] * 5 + ["word"] * 5
+             + ["the exact same duplicated document text body here"] * n_cluster
+             + [f"unique filler text number {i} with its own words {i * 7}"
+                for i in range(20)])
+    t = pa.table({
+        "doc_id": pa.array(range(len(texts)), type=pa.int64()),
+        "text": pa.array(texts),
+    })
+    ds = ray.data.from_arrow(t).repartition(4)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no skew-guard warning expected
+        res = dedup.minhash_dedup_pairs(ds, threshold=0.8)
+        mine = pa.concat_tables(
+            list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    # the identical cluster yields all C(300,2) pairs at jaccard 1000
+    cluster_ids = set(range(10, 10 + n_cluster))
+    got = [r for r in mine.to_pylist()
+           if r["doc_a"] in cluster_ids and r["doc_b"] in cluster_ids]
+    assert len(got) == n_cluster * (n_cluster - 1) // 2
+    assert all(r["jaccard_x1000"] == 1000 for r in got)
+    # no pair may involve an empty doc (no shingles => no candidates)
+    assert all(r["doc_a"] >= 5 and r["doc_b"] >= 5 for r in mine.to_pylist())
+
+    sh = dedup.simhash_dedup_pairs(ray.data.from_arrow(t).repartition(4),
+                                   max_hamming=3)
+    sh_t = pa.concat_tables(
+        list(sh.iter_batches(batch_format="pyarrow", batch_size=None)))
+    sh_pairs = {(r["doc_a"], r["doc_b"]) for r in sh_t.to_pylist()}
+    # identical docs have hamming 0: the full cluster must be present
+    assert {(10, 11), (10, 12), (308, 309)} <= sh_pairs
