@@ -107,6 +107,22 @@ def _csv_ok(t) -> bool:
                 or pa.types.is_large_binary(t))
 
 
+def cmd_export(args) -> int:
+    """Distributed sink: stream-decode the encoded dir and write a
+    partitioned Parquet DIRECTORY (one file per output block) via
+    ``Dataset.write_parquet`` — blocks track stripe sizes, nothing
+    materializes on the driver. The resumable-output counterpart of
+    ``decode`` (which builds one driver-side table/file)."""
+    from .pipelines.decode import decode_dataset
+
+    _ensure_ray(args.cpus)
+    columns = args.columns.split(",") if args.columns else None
+    ds = decode_dataset(args.dir, columns=columns)
+    ds.write_parquet(args.out)
+    print(f"exported {args.dir} -> {args.out}")
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .state.manifest import column_stats, manifest_summary
 
@@ -155,6 +171,15 @@ def main(argv=None) -> int:
     p.add_argument("--rows", default="",
                    help="START:COUNT row range (seek-point partial read)")
     p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("export",
+                       help="encoded dir -> partitioned parquet directory "
+                       "(distributed, streaming)")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--columns", default="")
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_export)
 
     p = sub.add_parser("stats", help="manifest summary")
     p.add_argument("--dir", required=True)

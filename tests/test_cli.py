@@ -38,3 +38,27 @@ def test_cli_encode_decode_stats_schema(ray_session, tmp_path, capsys):
     assert main(["schema", "--dir", enc]) == 0
     ddl = capsys.readouterr().out.strip().splitlines()[-1]
     assert ddl.startswith("struct<doc_id:string,tokens:array<int>")
+
+
+def test_cli_export_partitioned_parquet(ray_session, tmp_path, capsys):
+    import pyarrow as pa
+
+    d = tmp_path / "in"
+    write_synthetic_shards(str(d), num_rows=300, num_shards=2, seed=5)
+    enc = str(tmp_path / "enc")
+    assert main(["encode", "--input", f"{d}/*.parquet", "--out", enc,
+                 "--stripe-tokens", "50000"]) == 0
+    capsys.readouterr()
+
+    out_dir = str(tmp_path / "exported")
+    assert main(["export", "--dir", enc, "--out", out_dir]) == 0
+    files = [f for f in os.listdir(out_dir) if f.endswith(".parquet")]
+    assert files  # a directory of parquet files, not one giant file
+    t = pq.read_table(out_dir)
+    assert t.num_rows == 300
+    src = pa.concat_tables([pq.read_table(str(p)) for p in sorted(d.glob("*.parquet"))])
+    # token arrays round-trip bit-identical through encode -> export
+    assert sorted(t.column("doc_id").to_pylist()) == sorted(src.column("doc_id").to_pylist())
+    by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("tokens").to_pylist()))
+    src_by_id = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
+    assert by_id == src_by_id
