@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # core encoder stack (SURVEY.md §2)
         "tokenize_stats": q.q_tokenize_stats,
         "roundtrip_tokens": q.q_roundtrip_tokens,
+        "export_roundtrip": q.q_export_roundtrip,
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
         "decode_filter": q.q_decode_filter,
@@ -75,6 +76,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "tokenize_stats": q.SQL_TOKENIZE_STATS,
         "roundtrip_tokens": q.SQL_ROUNDTRIP_TOKENS,
+        "export_roundtrip": q.SQL_EXPORT_ROUNDTRIP,
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
         "decode_filter": q.SQL_DECODE_FILTER,

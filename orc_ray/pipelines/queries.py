@@ -160,6 +160,28 @@ SQL_ROUNDTRIP_TOKENS = (
 )
 
 
+# --- q: export_roundtrip (distributed parquet sink) -------------------------
+
+def q_export_roundtrip(sf_dir: str):
+    """Encoded dir -> streamed decode -> ``Dataset.write_parquet`` directory
+    (the distributed sink; one file per output block, nothing on the
+    driver) -> read the exported parquet back -> per-row summaries. Any
+    corruption in decode OR the sink breaks the oracle compare."""
+    import ray.data
+
+    enc = _work_dir(sf_dir, "encoded")
+    if not os.path.isdir(mf.manifest_dir(enc)):
+        encoded_dir(sf_dir, fresh=True)
+    out = _work_dir(sf_dir, "exported_parquet")
+    shutil.rmtree(out, ignore_errors=True)
+    decode_dataset(enc, concurrency=4).write_parquet(out)
+    return ray.data.read_parquet(out).map_batches(
+        _row_summaries, batch_format="pyarrow")
+
+
+SQL_EXPORT_ROUNDTRIP = SQL_ROUNDTRIP_TOKENS
+
+
 # --- q: manifest_stats -----------------------------------------------------
 
 def q_manifest_stats(sf_dir: str) -> pa.Table:
