@@ -44,6 +44,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "manifest_stats": q.q_manifest_stats,
         "decode_projection": q.q_decode_projection,
         "decode_filter": q.q_decode_filter,
+        "point_lookup": q.q_point_lookup,
         "events_roundtrip": q.q_events_roundtrip,
         "words_roundtrip": q.q_words_roundtrip,
         "map_roundtrip": q.q_map_roundtrip,
@@ -80,6 +81,7 @@ def oracle_sql() -> dict[str, str]:
         "manifest_stats": q.SQL_MANIFEST_STATS,
         "decode_projection": q.SQL_DECODE_PROJECTION,
         "decode_filter": q.SQL_DECODE_FILTER,
+        "point_lookup": q.SQL_POINT_LOOKUP,
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "words_roundtrip": q.SQL_WORDS_ROUNDTRIP,
         "map_roundtrip": q.SQL_MAP_ROUNDTRIP,

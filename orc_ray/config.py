@@ -42,6 +42,11 @@ class EncoderConfig:
     # every N chunks (stripe-granular stability like ORC's writer)
     selector_recheck_every: int = 8
     fsst_iterations: int = 5
+    # columns that get a per-stripe BLOOM_FILTER stream (the orc.proto
+    # stream kind the reference never implements): point lookups read only
+    # the filter's byte range to rule a stripe out. Opt-in — the filter
+    # costs ~10 bits per distinct value of blob space.
+    bloom_columns: tuple[str, ...] = ()
     # user-defined key/value metadata persisted alongside the manifests
     # (the writer.go:96-104 AddUserMetadata analogue): provenance tags,
     # pipeline versions, etc. Surfaced by manifest_summary and CLI stats.
@@ -60,13 +65,14 @@ class EncoderConfig:
             "selector_sample_values": self.selector_sample_values,
             "selector_recheck_every": self.selector_recheck_every,
             "fsst_iterations": self.fsst_iterations,
+            "bloom_columns": list(self.bloom_columns),
             "user_metadata": dict(self.user_metadata),
         }
 
     @classmethod
     def from_dict(cls, d: dict) -> "EncoderConfig":
         d = dict(d)
-        for k in ("int_candidates", "string_blob_candidates"):
+        for k in ("int_candidates", "string_blob_candidates", "bloom_columns"):
             if k in d:
                 d[k] = tuple(d[k])
         return cls(**d)

@@ -190,6 +190,131 @@ def decode_dataset_filtered(
     )
 
 
+def _lookup_stripe(blobs_dir: str, blob_path: str, meta: dict, column: str,
+                   values: list, hashes, columns: list[str] | None):
+    """Point-lookup one stripe: (matching table | None, prune reason).
+
+    Three escalating touches — stripe stats (zero I/O), the BLOOM_FILTER
+    stream's byte range only, then a full column decode + filter for
+    stripes the filter cannot rule out."""
+    import pyarrow.compute as pc
+
+    from ..codecs import bloom
+    from ..stripe import decode_blob, read_stream_from_file
+
+    for cm in meta["columns"]:
+        if cm["name"] == column:
+            st = cm.get("stats", {})
+            if "min" in st and "max" in st and not any(
+                    st["min"] <= v <= st["max"] for v in values):
+                return None, "stats"
+            break
+    path = os.path.join(blobs_dir, blob_path)
+    filt = read_stream_from_file(path, meta, column, "BLOOM_FILTER")
+    if filt is not None and not bloom.might_contain(filt, hashes).any():
+        return None, "bloom"
+    with open(path, "rb") as f:
+        blob = f.read()
+    t = decode_blob(blob, meta, columns=columns)
+    ft = t.filter(pc.is_in(t.column(column), value_set=pa.array(values)))
+    return (ft if ft.num_rows else None), "decoded"
+
+
+class _PointLookup:
+    """Actor-pool stage: manifest rows in, matching rows out. Pruning
+    happens inside the task (distributed), never on the driver."""
+
+    def __init__(self, out_dir: str, column: str, values: list,
+                 columns: list[str] | None = None):
+        import numpy as np
+
+        from ..codecs import bloom
+
+        self.blobs_dir = mf.blobs_dir(out_dir)
+        self.column = column
+        self.values = values
+        self.columns = columns
+        if isinstance(values[0], str):
+            self.hashes = bloom.hash_strings(pa.array(values, type=pa.string()))
+        else:
+            self.hashes = bloom.hash_ints(np.asarray(values, dtype=np.int64))
+
+    def __call__(self, man: pa.Table):
+        out = []
+        for row in man.select(["blob_path", "meta_json"]).to_pylist():
+            t, _ = _lookup_stripe(self.blobs_dir, row["blob_path"],
+                                  json.loads(row["meta_json"]), self.column,
+                                  self.values, self.hashes, self.columns)
+            if t is not None:
+                out.append(t)
+        if out:
+            yield pa.concat_tables(out)
+
+
+def point_lookup(
+    out_dir: str,
+    column: str,
+    values: list,
+    columns: list[str] | None = None,
+    concurrency: int | tuple[int, int] | None = None,
+):
+    """Equality point lookup over an encoded directory: every stripe is
+    ruled out by stats or its bloom filter's byte range where possible;
+    only surviving stripes decode. Returns a Dataset of matching rows."""
+    import ray.data
+
+    from .encode import _default_concurrency
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    man = mf.read_manifest(out_dir).select(["blob_path", "meta_json"])
+    want = None
+    if columns is not None:
+        want = list(dict.fromkeys(list(columns) + [column]))
+    ds = ray.data.from_arrow(man)
+    if man.num_rows > 1:
+        ds = ds.repartition(_pool_blocks(man.num_rows, concurrency))
+    return ds.map_batches(
+        _PointLookup,
+        fn_constructor_kwargs={"out_dir": out_dir, "column": column,
+                               "values": values, "columns": want},
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=clamp_concurrency(concurrency, man.num_rows),
+        num_cpus=1,
+        **remote_args(),
+    )
+
+
+def point_lookup_local(out_dir: str, column: str, values: list,
+                       columns: list[str] | None = None):
+    """Driver-side point lookup with prune diagnostics (tests/CLI): returns
+    (table | None, {"stats": n, "bloom": n, "decoded": n})."""
+    import numpy as np
+
+    from ..codecs import bloom
+
+    if isinstance(values[0], str):
+        hashes = bloom.hash_strings(pa.array(values, type=pa.string()))
+    else:
+        hashes = bloom.hash_ints(np.asarray(values, dtype=np.int64))
+    want = None
+    if columns is not None:
+        want = list(dict.fromkeys(list(columns) + [column]))
+    man = mf.read_manifest(out_dir)
+    blobs_dir = mf.blobs_dir(out_dir)
+    counts = {"stats": 0, "bloom": 0, "decoded": 0}
+    out = []
+    for row in man.select(["blob_path", "meta_json"]).to_pylist():
+        t, reason = _lookup_stripe(blobs_dir, row["blob_path"],
+                                   json.loads(row["meta_json"]), column,
+                                   values, hashes, want)
+        counts[reason] += 1
+        if t is not None:
+            out.append(t)
+    return (pa.concat_tables(out) if out else None), counts
+
+
 class StripeRangeDecoder:
     """map_batches stage for row-range reads: each manifest row arrives
     with a per-stripe (row_lo, row_cnt) sub-range; the seek-point indexes

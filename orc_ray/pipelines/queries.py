@@ -323,6 +323,51 @@ SQL_DECODE_FILTER = (
 )
 
 
+# --- q: point_lookup (bloom-filter data skipping) ---------------------------
+
+def q_point_lookup(sf_dir: str):
+    """Equality point lookup through BLOOM_FILTER streams (the orc.proto
+    stream kind the reference never implements): encode with a doc_id
+    bloom, then look up 3 doc_ids — stripes are ruled out by stats or by
+    reading ONLY the filter's byte range; survivors decode + filter."""
+    import pyarrow.parquet as pq
+
+    from ..sources.tokens import _doc_id_strings
+    from .decode import point_lookup
+
+    out = _work_dir(sf_dir, "encoded_bloom")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+    cfg = EncoderConfig(stripe_target_tokens=500_000,
+                        bloom_columns=("doc_id",))
+    encode_dataset_streaming(tokens_dataset(sf_dir), out, cfg,
+                             batch_rows=4096, concurrency=4).materialize()
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "source"],
+                        filters=[("doc_id", "in", [3, 120, 333])])
+    vals = _doc_id_strings(raw.column("source").combine_chunks(),
+                           raw.column("doc_id").combine_chunks()).to_pylist()
+
+    def shape(b: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": b.column("doc_id"),
+            "source": b.column("source"),
+            "n_tok": b.column("n_tok").cast(pa.int64()),
+        })
+
+    return point_lookup(out, "doc_id", sorted(vals),
+                        columns=["doc_id", "source", "n_tok"],
+                        concurrency=4).map_batches(shape, batch_format="pyarrow")
+
+
+SQL_POINT_LOOKUP = (
+    f"SELECT doc_id, source, n_tok FROM (SELECT {DOC_ID_SQL_EXPR} AS doc_id, "
+    "source, len(string_split(text, ' ')) AS n_tok, "
+    "documents.doc_id AS raw_id FROM documents) "
+    "WHERE raw_id IN (3, 120, 333)"
+)
+
+
 # --- q: events_roundtrip ---------------------------------------------------
 
 def q_events_roundtrip(sf_dir: str):

@@ -186,6 +186,20 @@ def _stream_bytes(blob: bytes, rec: dict, outer: str) -> bytes:
     return _decompress_outer(data, rec, outer)
 
 
+def read_stream_from_file(path: str, meta: dict, column: str, kind: str) -> bytes | None:
+    """Read + decompress ONE named stream's byte range from a blob file.
+    Point lookups use this to fetch just a stripe's BLOOM_FILTER bytes —
+    the stripe is ruled in/out without reading its data streams."""
+    outer = meta.get("outer", "none")
+    for rec in meta["streams"]:
+        if rec["column"] == column and rec["kind"] == kind:
+            with open(path, "rb") as f:
+                f.seek(rec["offset"])
+                data = f.read(rec["length"])
+            return _decompress_outer(data, rec, outer)
+    return None
+
+
 # ---------------------------------------------------------------------------
 # blob codecs for byte payloads (string data / dictionary data)
 # ---------------------------------------------------------------------------
@@ -342,6 +356,11 @@ def _encode_column(
         codec = _select_int(selector, group, f"{name}:DATA", vals, signed, config)
         w.add(name, "DATA", codec, encode_int_stream(vals, codec, signed),
               signed=signed, index_values=vals)
+        if name in config.bloom_columns and len(vals):
+            from .codecs import bloom
+
+            w.add(name, "BLOOM_FILTER", "bloom",
+                  bloom.build(bloom.hash_ints(np.unique(vals))))
         meta["encoding"] = "int"
         meta["stats"] = _int_stats(vals)
         return meta
@@ -507,6 +526,11 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
         w.add(name, "LENGTH", len_codec, encode_int_stream(lens, len_codec, False),
               signed=False)
         meta["encoding"] = "binary" if is_binary else "direct"
+    if name in config.bloom_columns and n and not is_binary:
+        from .codecs import bloom
+
+        w.add(name, "BLOOM_FILTER", "bloom",
+              bloom.build(bloom.hash_strings(pc.unique(arr))))
     stats = {"num_values": n, "distinct": distinct}
     if n and not is_binary:
         mm = pc.min_max(arr)
