@@ -54,6 +54,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": x.q_quality,
         "langid": x.q_langid,
         "fingerprint": x.q_fingerprint,
+        "decontaminate": x.q_decontaminate,
+        "sample_stratified": x.q_sample_stratified,
+        "topk_docs": x.q_topk_docs,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
         "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
@@ -90,6 +93,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,
         "fingerprint": x.SQL_Q_FINGERPRINT,
+        "decontaminate": x.SQL_Q_DECONTAMINATE,
+        "sample_stratified": x.SQL_Q_SAMPLE,
+        "topk_docs": x.SQL_Q_TOPK_DOCS,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
         "simhash_pairs": x.SQL_Q_SIMHASH,

@@ -82,6 +82,95 @@ def q_fingerprint(sf_dir: str):
 SQL_Q_FINGERPRINT = SQL_FINGERPRINT
 
 
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: flag documents containing any phrase
+    from a (small, broadcast) contamination set — here the 2-word prefixes
+    of two designated benchmark docs. The phrase list rides the closure
+    (broadcast-small-side, never a shuffle join); the scan is a vectorized
+    literal-substring match per phrase."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    raw = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                        columns=["doc_id", "text"],
+                        filters=[("doc_id", "in", [7, 42])])
+    phrases = [" ".join(t.split(" ")[:2]) for t in raw.column("text").to_pylist()]
+
+    def scan(b: pa.Table) -> pa.Table:
+        text = b.column("text")
+        hits = None
+        for p in phrases:
+            m = pc.cast(pc.match_substring(text, p), pa.int64())
+            hits = m if hits is None else pc.add(hits, m)
+        t = pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_hits": hits,
+        })
+        return t.filter(pc.greater(t.column("n_hits"), 0))
+
+    return _docs_ds(sf_dir).map_batches(scan, batch_format="pyarrow")
+
+
+SQL_Q_DECONTAMINATE = (
+    "WITH phrases AS (SELECT array_to_string((string_split(text, ' '))[1:2], ' ') "
+    "AS p FROM documents WHERE doc_id IN (7, 42)) "
+    "SELECT d.doc_id, count(*) AS n_hits FROM documents d "
+    "JOIN phrases ON contains(d.text, phrases.p) GROUP BY d.doc_id"
+)
+
+
+def q_sample_stratified(sf_dir: str):
+    """Deterministic hash-based stratified sampling (the reproducible
+    alternative to random sampling for training-data subsetting): keep a
+    doc iff the hex prefix of md5(text) falls under its source's rate —
+    pure per-batch filter, no shuffle, identical output on any cluster
+    shape or resume."""
+    import pyarrow.compute as pc
+
+    heavy = {"src0", "src1", "src2"}
+
+    def sample(b: pa.Table) -> pa.Table:
+        t = fingerprint_batch(b)
+        prefix = pc.utf8_slice_codeunits(t.column("md5"), 0, 2)
+        src = b.column("source")
+        thresh = pc.if_else(pc.is_in(src, value_set=pa.array(sorted(heavy))),
+                            pa.scalar("80"), pa.scalar("28"))
+        keep = pc.less(prefix, thresh)
+        out = pa.table({
+            "doc_id": t.column("doc_id"),
+            "source": src,
+        })
+        return out.filter(keep)
+
+    return _docs_ds(sf_dir).map_batches(sample, batch_format="pyarrow")
+
+
+SQL_Q_SAMPLE = (
+    "SELECT doc_id, source FROM documents "
+    "WHERE substr(md5(text), 1, 2) < "
+    "CASE WHEN source IN ('src0','src1','src2') THEN '80' ELSE '28' END"
+)
+
+
+def q_topk_docs(sf_dir: str):
+    """Top-k largest documents: distributed multi-key sort + limit (the
+    Dataset sort/limit surface; deterministic via the doc_id tiebreak).
+    At scale the sort is Ray's range-partitioned shuffle over ONLY the two
+    key columns."""
+    ds = _docs_ds(sf_dir).map_batches(
+        lambda b: pa.table({
+            "doc_id": b.column("doc_id").cast(pa.int64()),
+            "n_chars": b.column("n_chars").cast(pa.int64()),
+        }), batch_format="pyarrow")
+    return ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(10)
+
+
+SQL_Q_TOPK_DOCS = (
+    "SELECT doc_id, n_chars FROM documents "
+    "ORDER BY n_chars DESC, doc_id LIMIT 10"
+)
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):

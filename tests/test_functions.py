@@ -155,3 +155,44 @@ def test_frame_sampler():
     nf = media.column("n_frames").to_pylist()
     ns = out.column("n_sampled").to_pylist()
     assert ns == [(n + 29) // 30 for n in nf]
+
+
+def test_decontaminate_flags_phrase_carriers(ray_session):
+    from orc_ray.pipelines.queries_extras import q_decontaminate
+
+    rows = q_decontaminate(SF).take_all()
+    got = {r["doc_id"]: r["n_hits"] for r in rows}
+    # the two phrase-source docs must flag themselves
+    assert got.get(7, 0) >= 1 and got.get(42, 0) >= 1
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    phrases = [" ".join(texts[i].split(" ")[:2]) for i in (7, 42)]
+    expected = {i for i, t in texts.items() if any(p in t for p in phrases)}
+    assert set(got) == expected
+
+
+def test_sample_stratified_deterministic(ray_session):
+    from orc_ray.pipelines.queries_extras import q_sample_stratified
+
+    a = sorted(r["doc_id"] for r in q_sample_stratified(SF).take_all())
+    b = sorted(r["doc_id"] for r in q_sample_stratified(SF).take_all())
+    assert a == b and len(a) > 0
+    # heavy strata (src0-2 at ~50%) keep more than light strata (~16%)
+    rows = q_sample_stratified(SF).take_all()
+    heavy = sum(1 for r in rows if r["source"] in ("src0", "src1", "src2"))
+    light = len(rows) - heavy
+    n_heavy_total = 3 * 25
+    n_light_total = 17 * 25
+    assert heavy / n_heavy_total > light / n_light_total
+
+
+def test_topk_docs_matches_full_sort(ray_session):
+    from orc_ray.pipelines.queries_extras import q_topk_docs
+
+    rows = q_topk_docs(SF).take_all()
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "n_chars"])
+    exp = sorted(zip(docs.column("n_chars").to_pylist(),
+                     docs.column("doc_id").to_pylist()),
+                 key=lambda x: (-x[0], x[1]))[:10]
+    assert [(r["n_chars"], r["doc_id"]) for r in rows] == exp
