@@ -64,7 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup": x.q_embedding_neardup,
         "embedding_neardup_ivf": x.q_embedding_neardup_ivf,
         "window_agg": x.q_window_agg,
+        "sliding_window": x.q_sliding_window,
         "asof_lag": x.q_asof_lag,
+        "asof_join": x.q_asof_join,
         # similarity search
         "ann_topk": x.q_ann_topk,
         "ann_ivf": x.q_ann_ivf,
@@ -102,7 +104,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
         "ann_topk": x.SQL_Q_ANN_TOPK,
         "window_agg": x.SQL_Q_WINDOW_AGG,
+        "sliding_window": x.SQL_Q_SLIDING_WINDOW,
         "asof_lag": x.SQL_Q_ASOF_LAG,
+        "asof_join": x.SQL_Q_ASOF_JOIN,
         # ann_ivf / embedding_neardup_ivf / media_decode: approximate or
         # stubbed-codec ops -> rows-only checks (asserted in pytest instead)
     }

@@ -420,3 +420,141 @@ SQL_Q_ASOF_LAG = (
     "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_event_id "
     "FROM events"
 )
+
+
+def q_asof_join(sf_dir: str):
+    """Two-stream as-of join (attribution): each purchase event paired
+    with the user's most recent STRICTLY PRIOR view event. Same
+    fixed-partition composition as q_asof_lag — filter to the two streams
+    at the read (nothing else shuffles), hash-partition on user, one
+    lexsort + vectorized running-maximum per partition; Python is called
+    64 times total, never per user."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+
+    def add_part(b: pa.Table) -> pa.Table:
+        # prune to the two streams BEFORE the shuffle; event_type becomes
+        # an int8 tag so no strings move
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        tag = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int8())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "tag": tag,  # 0 = view, 1 = purchase
+            "part": pa.array((u % _LAG_PARTS).astype(np.int64)),
+        })
+
+    def asof_partition(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "prev_view_id": pa.array([], type=pa.int64())})
+        if n == 0:
+            return empty
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, uid))
+        sev, suid, stag = ev[order], uid[order], tag[order]
+        idx = np.arange(n, dtype=np.int64)
+        vidx = np.where(stag == 0, idx, -1)
+        acc = np.maximum.accumulate(vidx)
+        last_excl = np.empty(n, dtype=np.int64)  # last view index at j < i
+        last_excl[0] = -1
+        last_excl[1:] = acc[:-1]
+        boundary = np.zeros(n, dtype=bool)
+        boundary[0] = True
+        boundary[1:] = suid[1:] != suid[:-1]
+        run_start = np.maximum.accumulate(np.where(boundary, idx, 0))
+        valid = last_excl >= run_start  # view must be in the SAME user run
+        is_p = stag == 1
+        if not is_p.any():
+            return empty
+        prev = sev[np.maximum(last_excl, 0)[is_p]]
+        return pa.table({
+            "event_id": pa.array(sev[is_p], type=pa.int64()),
+            "prev_view_id": pa.array(prev, type=pa.int64(),
+                                     mask=~valid[is_p]),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(asof_partition, batch_format="pyarrow")
+
+
+SQL_Q_ASOF_JOIN = (
+    "SELECT event_id, prev_view_id FROM ("
+    "  SELECT event_id, event_type, "
+    "         last_value(view_id IGNORE NULLS) OVER ("
+    "             PARTITION BY user_id ORDER BY ts, event_id "
+    "             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING"
+    "         ) AS prev_view_id "
+    "  FROM (SELECT event_id, user_id, ts, event_type, "
+    "               CASE WHEN event_type = 'view' THEN event_id END AS view_id "
+    "        FROM events)"
+    ") WHERE event_type = 'purchase'"
+)
+
+
+def q_sliding_window(sf_dir: str):
+    """Sliding-window aggregate (1 h window, 30 min slide): each event is
+    expanded to its two covering windows inside the batch combiner, then
+    the same partial-agg + tree-reduce merge as the tumbling window — raw
+    events never shuffle, only (user, window) partials do."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["user_id", "ts", "value"])
+    half_us = 1_800_000_000  # 30 min in microseconds
+
+    def partial(b: pa.Table) -> pa.Table:
+        us = b.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        w1 = pc.multiply(pc.divide(us, half_us), half_us)  # int floor-div
+        w0 = pc.subtract(w1, half_us)
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        uid = b.column("user_id")
+        in_w0 = pa.table({"user_id": uid, "window_start": w0, "v1000": v1000})
+        in_w1 = in_w0.set_column(1, "window_start", w1)
+        expanded = pa.concat_tables([in_w0, in_w1])
+        return expanded.group_by(["user_id", "window_start"]).aggregate(
+            [("v1000", "count"), ("v1000", "sum")]
+        )
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def merge(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["user_id", "window_start"]).aggregate(
+            [("v1000_count", "sum"), ("v1000_sum", "sum")]
+        )
+        return pa.table({
+            "user_id": agg.column("user_id").cast(pa.int64()),
+            "window_start": agg.column("window_start").cast(pa.timestamp("us")),
+            "n_events": agg.column("v1000_count_sum").cast(pa.int64()),
+            "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
+SQL_Q_SLIDING_WINDOW = (
+    "WITH expanded AS ("
+    "  SELECT user_id, "
+    "         unnest([time_bucket(INTERVAL '30 minutes', ts), "
+    "                 time_bucket(INTERVAL '30 minutes', ts) "
+    "                 - INTERVAL '30 minutes']) AS window_start, "
+    "         CAST(round(value * 1000) AS BIGINT) AS v1000 "
+    "  FROM events) "
+    "SELECT user_id, window_start, count(*) AS n_events, "
+    "CAST(sum(v1000) AS BIGINT) AS sum_value_x1000 "
+    "FROM expanded GROUP BY user_id, window_start"
+)

@@ -196,3 +196,56 @@ def test_topk_docs_matches_full_sort(ray_session):
                      docs.column("doc_id").to_pylist()),
                  key=lambda x: (-x[0], x[1]))[:10]
     assert [(r["n_chars"], r["doc_id"]) for r in rows] == exp
+
+
+def _write_events(tmp_path, rows):
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "ts": pa.array([t0 + datetime.timedelta(minutes=r[1]) for r in rows],
+                       type=pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[3] for r in rows], type=pa.string()),
+        "value": pa.array([float(r[0]) / 8 for r in rows], type=pa.float64()),
+        "props": pa.array(["" for _ in rows], type=pa.string()),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    return tbl
+
+
+def test_asof_join_semantics(ray_session, tmp_path):
+    from orc_ray.pipelines.queries_extras import q_asof_join
+
+    # (event_id, minute, user, type)
+    rows = [
+        (1, 0, 1, "view"), (2, 5, 1, "purchase"),   # 2 <- 1
+        (3, 6, 1, "view"), (4, 7, 1, "view"),
+        (5, 9, 1, "purchase"),                        # 5 <- 4 (latest prior)
+        (6, 1, 2, "purchase"),                        # no prior view -> null
+        (7, 2, 2, "view"), (8, 2, 2, "purchase"),    # tie ts: event_id orders -> 8 <- 7
+        (9, 3, 3, "click"),                           # other stream: ignored
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["prev_view_id"]
+           for r in q_asof_join(str(tmp_path)).take_all()}
+    assert got == {2: 1, 5: 4, 6: None, 8: 7}
+
+
+def test_sliding_window_covers_each_event_twice(ray_session, tmp_path):
+    from orc_ray.pipelines.queries_extras import q_sliding_window
+
+    rows = [(i, 10 * i, 1 + (i % 2), "view") for i in range(12)]
+    _write_events(tmp_path, rows)
+    out = q_sliding_window(str(tmp_path)).take_all()
+    # every event lands in exactly two 1h windows (30min slide)
+    assert sum(r["n_events"] for r in out) == 2 * len(rows)
+    # spot-check one cell: user 1, window [00:00, 01:00) = events at
+    # minutes 0,20,40 (ids 0,2,4)
+    import datetime
+
+    w = datetime.datetime(2024, 1, 1)
+    cell = [r for r in out if r["user_id"] == 1 and r["window_start"] == w]
+    assert len(cell) == 1 and cell[0]["n_events"] == 3
+    assert cell[0]["sum_value_x1000"] == sum(round(i / 8 * 1000) for i in (0, 2, 4))
