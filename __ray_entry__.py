@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs": x.q_topk_docs,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
+        "prepare_corpus": x.q_prepare_corpus,
         "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
         "simhash_pairs": x.q_simhash,
         "embedding_neardup": x.q_embedding_neardup,
@@ -99,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "sample_stratified": x.SQL_Q_SAMPLE,
         "topk_docs": x.SQL_Q_TOPK_DOCS,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
+        "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
         "simhash_pairs": x.SQL_Q_SIMHASH,
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,

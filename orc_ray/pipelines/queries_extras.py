@@ -171,6 +171,79 @@ SQL_Q_TOPK_DOCS = (
 )
 
 
+def q_prepare_corpus(sf_dir: str):
+    """The composed training-data-prep pipeline, end-to-end through the
+    encoder: quality filter -> exact dedup -> tokenize -> stripe-encode ->
+    file-level stats from the manifests (never a full decode). The dedup
+    keep-set is produced by a distributed groupby over (md5, doc_id) pairs
+    and re-attached with a Ray hash join keyed on doc_id — no driver-side
+    set, no broadcast assumption about the dup rate; document text crosses
+    exactly one partitioned exchange."""
+    import shutil
+
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from ..config import EncoderConfig
+    from ..state import manifest as mf
+    from .encode import encode_dataset_streaming
+    from .queries import _work_dir, tokenize_documents
+
+    out = _work_dir(sf_dir, "encoded_prepared")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    docs = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "source", "n_chars"])
+
+    def filt(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.greater_equal(b.column("n_chars").cast(pa.int64()), 150))
+        return pa.table({
+            "doc_id": t.column("doc_id").cast(pa.int64()),
+            "text": t.column("text"),
+            "source": t.column("source"),
+        })
+
+    # join aggregator actors + the encoder pool must together stay under
+    # the CPU count or the streaming pipeline deadlocks (each pool pins
+    # its actors for the pipeline's lifetime)
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    nparts = max(2, min(8, cpus // 4))
+    # the join emits nparts blocks, so a larger encoder pool would idle
+    enc_conc = max(1, min(4, cpus - nparts - 1, nparts))
+    filtered = docs.map_batches(filt, batch_format="pyarrow")
+    keys = filtered.map_batches(
+        lambda b: fingerprint_batch(b).select(["doc_id", "md5"]),
+        batch_format="pyarrow")
+    keep = keys.groupby("md5").aggregate(
+        ray.data.aggregate.Min("doc_id")
+    ).map_batches(
+        lambda b: pa.table({"doc_id": b.column("min(doc_id)").cast(pa.int64())}),
+        batch_format="pyarrow")
+    surviving = filtered.join(keep, "inner", num_partitions=nparts,
+                              on=("doc_id",))
+    tokens = surviving.map_batches(tokenize_documents, batch_format="pyarrow")
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(tokens, out, cfg, batch_rows=4096,
+                             concurrency=enc_conc).materialize()
+    st = mf.column_stats(out)["n_tok"]
+    return pa.table({
+        "num_docs": pa.array([st["num_values"]], type=pa.int64()),
+        "sum_n_tok": pa.array([st["sum"]], type=pa.int64()),
+    })
+
+
+SQL_Q_PREPARE_CORPUS = (
+    "WITH filt AS (SELECT doc_id, text FROM documents WHERE n_chars >= 150), "
+    "keep AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY md5(text)) "
+    "SELECT count(*) AS num_docs, "
+    "CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_n_tok "
+    "FROM filt JOIN keep USING (doc_id)"
+)
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):

@@ -249,3 +249,27 @@ def test_sliding_window_covers_each_event_twice(ray_session, tmp_path):
     cell = [r for r in out if r["user_id"] == 1 and r["window_start"] == w]
     assert len(cell) == 1 and cell[0]["n_events"] == 3
     assert cell[0]["sum_value_x1000"] == sum(round(i / 8 * 1000) for i in (0, 2, 4))
+
+
+def test_prepare_corpus_counts(ray_session):
+    import hashlib
+
+    from orc_ray.pipelines.queries_extras import q_prepare_corpus
+
+    out = q_prepare_corpus(SF).to_pylist()[0]
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text", "n_chars"])
+    seen, n, s = set(), 0, 0
+    rows = sorted(zip(docs.column("doc_id").to_pylist(),
+                      docs.column("text").to_pylist(),
+                      docs.column("n_chars").to_pylist()))
+    for _, text, n_chars in rows:
+        if n_chars < 150:
+            continue
+        h = hashlib.md5(text.encode()).hexdigest()
+        if h in seen:
+            continue
+        seen.add(h)
+        n += 1
+        s += len(text.split(" "))
+    assert out == {"num_docs": n, "sum_n_tok": s}
