@@ -1,16 +1,20 @@
-"""Snappy block decoder (decode-only, matching the reference's support:
-/root/reference/compressioncodec.go:222-284 decodes snappy streams while
-its encoder is unimplemented, :286-300, and SetCompression rejects snappy
-for writes, writer.go:70-87).
+"""Snappy block codec. The reference only decodes snappy
+(/root/reference/compressioncodec.go:222-284); its encoder is
+unimplemented (:286-300) and SetCompression rejects snappy for writes
+(writer.go:70-87). Here BOTH directions exist: the decoder for foreign
+streams, and a greedy hash-table encoder so ``outer_compression="snappy"``
+is a real write path.
 
 Implements the raw snappy block format (public format description:
 google/snappy format_description.txt): varint uncompressed length, then
 tagged elements — 2-bit tag: 00 literal, 01/10/11 copies with 1/2/4-byte
-little-endian offsets. Pure Python: this is a compatibility path for
-reading foreign streams, not a hot kernel (our own streams use
-zlib/none — exactly the codecs the reference can write)."""
+little-endian offsets. Pure Python: this is a compatibility path, not a
+hot kernel (our own streams use zlib/none — the codecs the reference can
+write — unless snappy is explicitly configured)."""
 
 from __future__ import annotations
+
+DEFAULT_CHUNK = 256 * 1024  # writer.go:25 DefaultCompressionChunkSize
 
 
 def decompress_raw(data: bytes) -> bytes:
@@ -66,6 +70,103 @@ def decompress_raw(data: bytes) -> bytes:
                 out.append(out[start + i])
     if len(out) != n:
         raise ValueError(f"snappy: size mismatch {len(out)} != {n}")
+    return bytes(out)
+
+
+def _emit_literal(out: bytearray, data: bytes, s: int, e: int) -> None:
+    while s < e:
+        length = min(e - s, 1 << 24)  # arbitrary split bound, format-legal
+        lm1 = length - 1
+        if lm1 < 60:
+            out.append(lm1 << 2)
+        elif lm1 < (1 << 8):
+            out.append(60 << 2)
+            out.append(lm1)
+        elif lm1 < (1 << 16):
+            out.append(61 << 2)
+            out += lm1.to_bytes(2, "little")
+        else:
+            out.append(62 << 2)
+            out += lm1.to_bytes(3, "little")
+        out += data[s: s + length]
+        s += length
+
+
+def _emit_copy(out: bytearray, offset: int, length: int) -> None:
+    # copies carry <=64 bytes each; callers pass length >= 4. Never leave
+    # a 1-3 byte tail (some decoders reject sub-4 copies): rebalance the
+    # split so the final piece is always >= 4
+    while length > 0:
+        step = min(length, 64)
+        if 0 < length - step < 4:
+            step = length - 4  # length is 65..67 here, so step >= 61
+        if offset < (1 << 16):
+            out.append(0x2 | ((step - 1) << 2))
+            out += offset.to_bytes(2, "little")
+        else:
+            out.append(0x3 | ((step - 1) << 2))
+            out += offset.to_bytes(4, "little")
+        length -= step
+
+
+def compress_raw(data: bytes) -> bytes:
+    """Compress one raw snappy block: greedy 4-byte hash-table matcher
+    with snappy's skip-ahead acceleration on incompressible input."""
+    n = len(data)
+    out = bytearray()
+    v = n
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    if n < 4:
+        if n:
+            _emit_literal(out, data, 0, n)
+        return bytes(out)
+    table: dict[bytes, int] = {}
+    pos = 0
+    lit_start = 0
+    limit = n - 4
+    skip = 32  # snappy heuristic: 1 extra skipped byte per 32 misses
+    while pos <= limit:
+        key = data[pos: pos + 4]
+        cand = table.get(key, -1)
+        table[key] = pos
+        if cand < 0:
+            pos += 1 + ((skip - 32) >> 5)
+            skip += 1
+            continue
+        skip = 32
+        m = 4
+        maxm = n - pos
+        while m < maxm and data[cand + m] == data[pos + m]:
+            # chunked extension: compare 32-byte slices first
+            if m + 32 <= maxm and data[cand + m: cand + m + 32] == data[pos + m: pos + m + 32]:
+                m += 32
+                continue
+            m += 1
+        _emit_literal(out, data, lit_start, pos)
+        _emit_copy(out, pos - cand, m)
+        pos += m
+        lit_start = pos
+    _emit_literal(out, data, lit_start, n)
+    return bytes(out)
+
+
+def compress(data: bytes, chunk: int = DEFAULT_CHUNK) -> bytes:
+    """ORC-framed snappy stream: 3-byte chunk headers
+    ``(len << 1) | isOriginal`` with the store-uncompressed-if-bigger
+    fallback, same framing as the zlib codec."""
+    out = bytearray()
+    for s in range(0, max(len(data), 1), chunk):
+        piece = data[s: s + chunk]
+        comp = compress_raw(piece)
+        if len(comp) < len(piece):
+            out += ((len(comp) << 1) | 0).to_bytes(3, "little")
+            out += comp
+        else:
+            out += ((len(piece) << 1) | 1).to_bytes(3, "little")
+            out += piece
     return bytes(out)
 
 

@@ -159,6 +159,13 @@ class _BlobWriter:
                 if seekable or "byte_index" in extra:
                     rec["chunk_offsets"] = zlibchunk.chunk_offsets(data)
                     rec["chunk_size"] = zlibchunk.DEFAULT_CHUNK
+        elif raw_len > 0 and attempt and self.outer == "snappy":
+            # writable snappy — beyond the reference, which rejects snappy
+            # for writes (writer.go:70-87); per-chunk original fallback is
+            # built into the framing
+            from .codecs import snappyblock
+
+            data, outer = snappyblock.compress(data), "snappy"
         rec.update({"offset": len(self.buf), "length": len(data),
                     "outer": outer})
         rec.update(extra)

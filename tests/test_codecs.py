@@ -260,3 +260,44 @@ def test_snappy_orc_framing():
     h = (len(payload) << 1) | 1
     framed = bytes([h & 0xFF, (h >> 8) & 0xFF, (h >> 16) & 0xFF]) + payload
     assert snappyblock.decompress(framed) == payload
+
+
+def test_snappy_encoder_roundtrips():
+    import numpy as np
+
+    from orc_ray.codecs import snappyblock as sb
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"",
+        b"abc",
+        b"aaaa",
+        b"abcd" * 1000,                      # long match chains, 64+ splits
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),   # incompressible
+        b"x" * 67,                           # the 65..67 copy-split edge
+        b"The quick brown fox " * 37,
+        # far-back match (> 64 KiB offset => 4-byte-offset copies)
+        b"PATTERN-0123456789" * 4
+        + bytes(rng.integers(0, 256, 70000, dtype=np.uint8))
+        + b"PATTERN-0123456789" * 4,
+    ]
+    for data in cases:
+        assert sb.decompress_raw(sb.compress_raw(data)) == data
+        assert sb.decompress(sb.compress(data)) == data
+    rep = b"hello world, hello world, hello world! " * 500
+    assert len(sb.compress_raw(rep)) < len(rep) // 2
+    # multi-chunk framing
+    big = (b"seed" + bytes(rng.integers(0, 256, 300_000, dtype=np.uint8))) * 2
+    assert sb.decompress(sb.compress(big)) == big
+
+
+def test_snappy_outer_stripe_roundtrip():
+    from orc_ray.config import EncoderConfig
+    from orc_ray.sources.tokens import synthesize_tokens
+    from orc_ray.stripe import decode_blob, encode_table
+
+    t = synthesize_tokens(400, seed=31)
+    blob, meta = encode_table(t, EncoderConfig(outer_compression="snappy"))
+    assert any(s["outer"] == "snappy" for s in meta["streams"])
+    got = decode_blob(blob, meta)
+    assert got.equals(t) or got.cast(t.schema).equals(t)
