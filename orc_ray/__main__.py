@@ -123,6 +123,43 @@ def cmd_export(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    """Merge undersized stripes into full-size ones (resumable; the source
+    directory is never mutated)."""
+    from .config import EncoderConfig
+    from .pipelines.compact import compact_job
+
+    _ensure_ray(args.cpus)
+    cfg = EncoderConfig(stripe_target_tokens=args.stripe_tokens)
+    res = compact_job(args.dir, args.out, cfg)
+    print(json.dumps(res, indent=2))
+    return 0
+
+
+def cmd_lookup(args) -> int:
+    """Equality point lookup via stripe stats + BLOOM_FILTER byte ranges
+    (driver-side; prints prune counters and matching rows as CSV)."""
+    from .pipelines.decode import point_lookup_local
+
+    values: list = args.value
+    if args.int:
+        values = [int(v) for v in values]
+    columns = args.columns.split(",") if args.columns else None
+    table, counts = point_lookup_local(args.dir, args.column, values, columns)
+    print(json.dumps(counts), file=sys.stderr)
+    if table is None:
+        print("no matches", file=sys.stderr)
+        return 1
+    import io
+
+    import pyarrow.csv as pacsv
+
+    buf = io.BytesIO()
+    pacsv.write_csv(table, buf)
+    sys.stdout.write(buf.getvalue().decode())
+    return 0
+
+
 def cmd_stats(args) -> int:
     from .state.manifest import column_stats, manifest_summary
 
@@ -180,6 +217,24 @@ def main(argv=None) -> int:
     p.add_argument("--columns", default="")
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_export)
+
+    p = sub.add_parser("compact",
+                       help="merge undersized stripes to target size "
+                       "(new dir; resumable)")
+    p.add_argument("--dir", required=True, help="source encoded dir")
+    p.add_argument("--out", required=True, help="destination encoded dir")
+    p.add_argument("--stripe-tokens", type=int, default=4_000_000)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_compact)
+
+    p = sub.add_parser("lookup",
+                       help="equality point lookup (stats + bloom pruning)")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--column", required=True)
+    p.add_argument("--int", action="store_true", help="values are integers")
+    p.add_argument("--columns", default="")
+    p.add_argument("value", nargs="+")
+    p.set_defaults(fn=cmd_lookup)
 
     p = sub.add_parser("stats", help="manifest summary")
     p.add_argument("--dir", required=True)

@@ -62,3 +62,33 @@ def test_cli_export_partitioned_parquet(ray_session, tmp_path, capsys):
     by_id = dict(zip(t.column("doc_id").to_pylist(), t.column("tokens").to_pylist()))
     src_by_id = dict(zip(src.column("doc_id").to_pylist(), src.column("tokens").to_pylist()))
     assert by_id == src_by_id
+
+
+def test_cli_compact_and_lookup(ray_session, tmp_path, capsys):
+    import ray.data
+
+    from orc_ray.config import EncoderConfig
+    from orc_ray.pipelines.encode import encode_dataset_streaming
+    from orc_ray.sources.tokens import synthesize_tokens
+
+    t = synthesize_tokens(1500, seed=51)
+    src = str(tmp_path / "src")
+    cfg = EncoderConfig(stripe_target_tokens=20_000, bloom_columns=("doc_id",))
+    encode_dataset_streaming(ray.data.from_arrow(t), src, cfg,
+                             batch_rows=128, concurrency=2).materialize()
+
+    dst = str(tmp_path / "dst")
+    assert main(["compact", "--dir", src, "--out", dst,
+                 "--stripe-tokens", "300000"]) == 0
+    res = json.loads(capsys.readouterr().out)
+    assert res["stripes_after"] < res["stripes_before"]
+
+    want = t.column("doc_id")[42].as_py()
+    assert main(["lookup", "--dir", src, "--column", "doc_id",
+                 "--columns", "doc_id,n_tok", want]) == 0
+    got = capsys.readouterr().out.strip().splitlines()
+    assert got[0] == '"doc_id","n_tok"'
+    assert any(want in line for line in got[1:])
+    # a value that exists nowhere: exit 1, no matches
+    assert main(["lookup", "--dir", src, "--column", "doc_id",
+                 "absent-id"]) == 1
