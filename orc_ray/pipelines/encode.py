@@ -175,16 +175,53 @@ def encode_job(
     resume: bool = True,
     partition_target_tokens: int | None = None,
 ) -> dict:
-    """Plan + run the full encode job; returns the manifest summary."""
+    """Plan + run the full encode job; returns the manifest summary.
+
+    resume=True skips committed partitions after validating their recorded
+    lineage against the current plan (appending files that sort after the
+    existing ones is safe; any other input change fails loudly).
+    resume=False rebuilds: committed manifests are removed first so the
+    whole plan re-encodes (blobs are overwritten atomically by name)."""
     import ray.data
 
     config = config or EncoderConfig()
     mf.ensure_dirs(out_dir)
+    if not resume:
+        mdir = mf.manifest_dir(out_dir)
+        for name in os.listdir(mdir):
+            if name.endswith(".parquet"):
+                os.remove(os.path.join(mdir, name))
     if config.user_metadata:
         mf.write_user_metadata(out_dir, config.user_metadata)
     target = partition_target_tokens or config.stripe_target_tokens
     specs = plan_partitions(paths, target)
     done = mf.completed_partitions(out_dir) if resume else set()
+    if done:
+        # pids are positions in the (sorted-paths) plan, so they are only
+        # meaningful for THIS plan. Validate each committed partition's
+        # recorded lineage against the current spec: appends (new files
+        # sorting last) keep old pids valid; removals/renames/reorders
+        # make them stale and MUST fail loudly — silently skipping a pid
+        # whose content changed would drop data
+        lineage = mf.completed_lineage(out_dir)
+        by_pid = {s.pid: s for s in specs}
+        stale = []
+        valid = set()
+        for pid in sorted(done):
+            s = by_pid.get(pid)
+            if s is not None and lineage.get(pid) == (s.file, s.row_start,
+                                                      s.row_count):
+                valid.add(pid)
+            else:
+                stale.append(pid)
+        if stale:
+            raise ValueError(
+                f"resume: {len(stale)} committed partition(s) (first: pid "
+                f"{stale[0]}) no longer match the current plan — the input "
+                "file set changed in a non-append way (removed/renamed/"
+                "reordered files). Encode into a fresh out_dir, or rerun "
+                "with resume=False to rebuild from scratch.")
+        done = valid
     todo = [s.to_dict() for s in specs if s.pid not in done]
     result = {"planned_partitions": len(specs), "skipped": len(specs) - len(todo)}
     if todo:

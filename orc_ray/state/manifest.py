@@ -118,6 +118,27 @@ def completed_partitions(out_dir: str) -> set[int]:
     return out
 
 
+def completed_lineage(out_dir: str) -> dict[int, tuple]:
+    """pid -> (input_file, row_start, row_count) from each committed
+    manifest (first row; every stripe of a partition shares its lineage).
+    Resume validation reads this so a changed input plan can never be
+    silently skipped against stale partition ids."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, tuple] = {}
+    for name in sorted(os.listdir(mdir)):
+        if not (name.startswith("part-") and name.endswith(".parquet")):
+            continue
+        t = pq.read_table(os.path.join(mdir, name),
+                          columns=["input_file", "row_start", "row_count"])
+        if t.num_rows:
+            out[int(name[5:11])] = (t.column("input_file")[0].as_py(),
+                                    t.column("row_start")[0].as_py(),
+                                    t.column("row_count")[0].as_py())
+    return out
+
+
 def read_manifest(out_dir: str) -> pa.Table:
     mdir = manifest_dir(out_dir)
     files = sorted(

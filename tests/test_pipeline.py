@@ -273,3 +273,44 @@ def test_file_level_column_stats_merge(tmp_path):
     assert stats["score"]["sum"] == exp_sum
     assert stats["ratio"]["has_null"]
     assert stats["ratio"]["num_values"] < exp_vals
+
+
+def test_resume_append_new_shard(ray_session, tmp_path):
+    """Appending input files that sort AFTER the existing ones resumes
+    cleanly: old partitions skip (lineage-validated), only new encode."""
+    d = tmp_path / "in"
+    write_synthetic_shards(str(d), num_rows=1000, num_shards=2, seed=61)
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = str(tmp_path / "enc")
+    cfg = EncoderConfig(stripe_target_tokens=100_000)
+    s1 = encode_job(paths, out, cfg, concurrency=2)
+
+    extra = synthesize_tokens(300, seed=62)
+    new_path = str(d / "zz-appended.parquet")
+    pq.write_table(extra, new_path)
+    s2 = encode_job(paths + [new_path], out, cfg, concurrency=2)
+    assert s2["skipped"] == s1["planned_partitions"]
+    assert s2["planned_partitions"] > s1["planned_partitions"]
+    got = decode_table(out)
+    assert got.num_rows == 1000 + 300
+
+
+def test_resume_detects_plan_change(ray_session, tmp_path):
+    """An input file that sorts BEFORE the committed ones shifts every
+    pid; resume must refuse instead of silently skipping wrong data."""
+    d = tmp_path / "in"
+    write_synthetic_shards(str(d), num_rows=1000, num_shards=2, seed=63)
+    paths = sorted(str(p) for p in d.glob("*.parquet"))
+    out = str(tmp_path / "enc")
+    cfg = EncoderConfig(stripe_target_tokens=100_000)
+    encode_job(paths, out, cfg, concurrency=2)
+
+    first = synthesize_tokens(200, seed=64)
+    new_path = str(d / "aa-prepended.parquet")
+    pq.write_table(first, new_path)
+    with pytest.raises(ValueError, match="no longer match"):
+        encode_job([new_path] + paths, out, cfg, concurrency=2)
+    # resume=False rebuilds the changed plan from scratch
+    s = encode_job([new_path] + paths, out, cfg, concurrency=2, resume=False)
+    assert s["skipped"] == 0
+    assert decode_table(out).num_rows == 1200
