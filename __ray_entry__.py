@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": x.q_fingerprint,
         "decontaminate": x.q_decontaminate,
         "sample_stratified": x.q_sample_stratified,
+        "word_df_score": x.q_word_df_score,
         "topk_docs": x.q_topk_docs,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
@@ -66,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_neardup_ivf": x.q_embedding_neardup_ivf,
         "window_agg": x.q_window_agg,
         "sliding_window": x.q_sliding_window,
+        "sessionize": x.q_sessionize,
         "asof_lag": x.q_asof_lag,
         "asof_join": x.q_asof_join,
         # similarity search
@@ -98,6 +100,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": x.SQL_Q_FINGERPRINT,
         "decontaminate": x.SQL_Q_DECONTAMINATE,
         "sample_stratified": x.SQL_Q_SAMPLE,
+        "word_df_score": x.SQL_Q_WORD_DF_SCORE,
         "topk_docs": x.SQL_Q_TOPK_DOCS,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
@@ -107,6 +110,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": x.SQL_Q_ANN_TOPK,
         "window_agg": x.SQL_Q_WINDOW_AGG,
         "sliding_window": x.SQL_Q_SLIDING_WINDOW,
+        "sessionize": x.SQL_Q_SESSIONIZE,
         "asof_lag": x.SQL_Q_ASOF_LAG,
         "asof_join": x.SQL_Q_ASOF_JOIN,
         # ann_ivf / embedding_neardup_ivf / media_decode: approximate or

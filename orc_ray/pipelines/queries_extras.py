@@ -152,6 +152,76 @@ SQL_Q_SAMPLE = (
 )
 
 
+def q_word_df_score(sf_dir: str):
+    """Corpus-statistics quality scoring (CCNet-style): pass 1 builds the
+    word -> document-frequency table with a distributed groupby over
+    per-batch-distinct (doc, word) pairs; pass 2 broadcasts the vocab once
+    (``ray.put``, read per actor in __init__) and scores every token via
+    per-batch ``dictionary_encode`` — the df dict is probed once per
+    DISTINCT word per batch, tokens resolve by take(). At open-vocabulary
+    scale the broadcast flips to the hash-join pattern used by dedup
+    verify; for bounded vocabularies this path avoids the shuffle
+    entirely."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    docs = _docs_ds(sf_dir)
+
+    def distinct_pairs(b: pa.Table) -> pa.Table:
+        words = pc.split_pattern(b.column("text"), " ")
+        if isinstance(words, pa.ChunkedArray):
+            words = words.combine_chunks()
+        n = pc.list_value_length(words).to_numpy(zero_copy_only=False)
+        doc = np.repeat(b.column("doc_id").to_numpy(zero_copy_only=False)
+                        .astype(np.int64), n)
+        t = pa.table({"doc_id": pa.array(doc), "word": words.flatten()})
+        # a doc lives in exactly one batch, so per-batch distinct == global
+        return t.group_by(["doc_id", "word"]).aggregate([])
+
+    df_rows = docs.map_batches(distinct_pairs, batch_format="pyarrow") \
+        .groupby("word").count().take_all()
+    vocab_ref = ray.put({r["word"]: r["count()"] for r in df_rows})
+
+    class Scorer:
+        def __init__(self, ref):
+            # constructor args may arrive auto-dereferenced (top-level
+            # ObjectRefs are resolved by the actor runtime)
+            self.df = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            words = pc.split_pattern(b.column("text"), " ")
+            if isinstance(words, pa.ChunkedArray):
+                words = words.combine_chunks()
+            n = pc.list_value_length(words).to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            flat = words.flatten().dictionary_encode()
+            uniq_df = np.array([self.df.get(w, 0)
+                                for w in flat.dictionary.to_pylist()],
+                               dtype=np.int64)
+            tok_df = uniq_df[flat.indices.to_numpy(zero_copy_only=False)]
+            off = np.zeros(len(n) + 1, dtype=np.int64)
+            np.cumsum(n, out=off[1:])
+            sums = np.add.reduceat(tok_df, off[:-1])
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "mean_df_x1000": pa.array(sums * 1000 // n, type=pa.int64()),
+            })
+
+    return docs.map_batches(Scorer, fn_constructor_args=(vocab_ref,),
+                            batch_format="pyarrow", concurrency=2,
+                            num_cpus=1)
+
+
+SQL_Q_WORD_DF_SCORE = (
+    "WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word "
+    "           FROM documents), "
+    "dfreq AS (SELECT word, count(DISTINCT doc_id) AS df FROM w GROUP BY word) "
+    "SELECT doc_id, CAST((sum(df) * 1000) // count(*) AS BIGINT) "
+    "AS mean_df_x1000 FROM w JOIN dfreq USING (word) GROUP BY doc_id"
+)
+
+
 def q_topk_docs(sf_dir: str):
     """Top-k largest documents: distributed multi-key sort + limit (the
     Dataset sort/limit surface; deterministic via the doc_id tiebreak).
@@ -573,6 +643,81 @@ SQL_Q_ASOF_JOIN = (
     "               CASE WHEN event_type = 'view' THEN event_id END AS view_id "
     "        FROM events)"
     ") WHERE event_type = 'purchase'"
+)
+
+
+def q_sessionize(sf_dir: str):
+    """Gap-based session windows (6 h inactivity closes a session) — the
+    third streaming-window kind next to tumbling/sliding. Same
+    fixed-partition composition: sessions never span users, users never
+    span partitions, so one lexsort + boundary cumsum per partition
+    assigns every session id and aggregates it with reduceat — no per-user
+    or per-session Python."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts"])
+    gap_us = 6 * 3600 * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((u % _LAG_PARTS).astype(np.int64)))
+
+    def sessionize(g: pa.Table) -> pa.Table:
+        n = g.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], type=pa.int64()),
+                "session_id": pa.array([], type=pa.int64()),
+                "n_events": pa.array([], type=pa.int64()),
+                "session_start": pa.array([], type=pa.timestamp("us")),
+                "session_end": pa.array([], type=pa.timestamp("us")),
+            })
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts, uid))
+        sts, suid = ts[order], uid[order]
+        idx = np.arange(n, dtype=np.int64)
+        new_user = np.zeros(n, dtype=bool)
+        new_user[0] = True
+        new_user[1:] = suid[1:] != suid[:-1]
+        new_s = new_user.copy()
+        new_s[1:] |= (sts[1:] - sts[:-1]) > gap_us
+        cs = np.cumsum(new_s)
+        run_start = np.maximum.accumulate(np.where(new_user, idx, 0))
+        sid = cs - (cs[run_start] - 1)  # 1-based per user
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            "user_id": pa.array(suid[starts], type=pa.int64()),
+            "session_id": pa.array(sid[starts], type=pa.int64()),
+            "n_events": pa.array(ends - starts + 1, type=pa.int64()),
+            "session_start": pa.array(sts[starts]).cast(pa.timestamp("us")),
+            "session_end": pa.array(sts[ends]).cast(pa.timestamp("us")),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(sessionize, batch_format="pyarrow")
+
+
+SQL_Q_SESSIONIZE = (
+    "WITH marked AS ("
+    "  SELECT user_id, ts, event_id, "
+    "    CASE WHEN lag(ts) OVER w IS NULL "
+    "         OR ts - lag(ts) OVER w > INTERVAL '6 hours' THEN 1 ELSE 0 END "
+    "    AS new_s FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS ("
+    "  SELECT user_id, ts, "
+    "    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id "
+    "  FROM marked) "
+    "SELECT user_id, session_id, count(*) AS n_events, "
+    "min(ts) AS session_start, max(ts) AS session_end "
+    "FROM sess GROUP BY user_id, session_id"
 )
 
 

@@ -273,3 +273,37 @@ def test_prepare_corpus_counts(ray_session):
         n += 1
         s += len(text.split(" "))
     assert out == {"num_docs": n, "sum_n_tok": s}
+
+
+def test_sessionize_semantics(ray_session, tmp_path):
+    from orc_ray.pipelines.queries_extras import q_sessionize
+
+    # user 1: events at 0min, 10min, gap, 500min (>6h) -> 2 sessions
+    # user 2: single event -> 1 session
+    rows = [(1, 0, 1, "view"), (2, 10, 1, "view"), (3, 500, 1, "view"),
+            (4, 42, 2, "click")]
+    _write_events(tmp_path, rows)
+    out = sorted(q_sessionize(str(tmp_path)).take_all(),
+                 key=lambda r: (r["user_id"], r["session_id"]))
+    got = [(r["user_id"], r["session_id"], r["n_events"]) for r in out]
+    assert got == [(1, 1, 2), (1, 2, 1), (2, 1, 1)]
+    assert out[0]["session_start"] < out[0]["session_end"]
+    assert out[1]["session_start"] == out[1]["session_end"]
+
+
+def test_word_df_score_semantics(ray_session):
+    from orc_ray.pipelines.queries_extras import q_word_df_score
+
+    rows = {r["doc_id"]: r["mean_df_x1000"]
+            for r in q_word_df_score(SF).take_all()}
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(docs.column("doc_id").to_pylist(),
+                     docs.column("text").to_pylist()))
+    df = {}
+    for t in texts.values():
+        for w in set(t.split(" ")):
+            df[w] = df.get(w, 0) + 1
+    for did in (0, 100, 499):
+        words = texts[did].split(" ")
+        exp = sum(df[w] for w in words) * 1000 // len(words)
+        assert rows[did] == exp
