@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": x.q_decontaminate,
         "sample_stratified": x.q_sample_stratified,
         "word_df_score": x.q_word_df_score,
+        "source_quantiles": x.q_source_quantiles,
         "topk_docs": x.q_topk_docs,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
@@ -70,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": x.q_sessionize,
         "asof_lag": x.q_asof_lag,
         "asof_join": x.q_asof_join,
+        "range_join": x.q_range_join,
         # similarity search
         "ann_topk": x.q_ann_topk,
         "ann_ivf": x.q_ann_ivf,
@@ -101,6 +103,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": x.SQL_Q_DECONTAMINATE,
         "sample_stratified": x.SQL_Q_SAMPLE,
         "word_df_score": x.SQL_Q_WORD_DF_SCORE,
+        "source_quantiles": x.SQL_Q_SOURCE_QUANTILES,
         "topk_docs": x.SQL_Q_TOPK_DOCS,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
@@ -113,6 +116,7 @@ def oracle_sql() -> dict[str, str]:
         "sessionize": x.SQL_Q_SESSIONIZE,
         "asof_lag": x.SQL_Q_ASOF_LAG,
         "asof_join": x.SQL_Q_ASOF_JOIN,
+        "range_join": x.SQL_Q_RANGE_JOIN,
         # ann_ivf / embedding_neardup_ivf / media_decode: approximate or
         # stubbed-codec ops -> rows-only checks (asserted in pytest instead)
     }

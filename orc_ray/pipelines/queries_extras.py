@@ -314,6 +314,63 @@ SQL_Q_PREPARE_CORPUS = (
 )
 
 
+def q_source_quantiles(sf_dir: str):
+    """Exact distributed quantiles (median + p90 of doc length per
+    source) WITHOUT sorting the data: the combiner reduces each batch to a
+    (source, value) -> count histogram — bounded by the value domain, not
+    the row count — and the tiny final merge walks each source's
+    cumulative histogram to the quantile_disc index (ceil(q*n) - 1). The
+    scalable alternative to a full sort for bounded-domain quantiles."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "n_chars"])
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table({"source": b.column("source"),
+                      "n_chars": b.column("n_chars").cast(pa.int64())})
+        return t.group_by(["source", "n_chars"]).aggregate([([], "count_all")])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def final(b: pa.Table) -> pa.Table:
+        agg = b.group_by(["source", "n_chars"]).aggregate(
+            [("count_all", "sum")])
+        src = agg.column("source").dictionary_encode().combine_chunks()
+        codes = src.indices.to_numpy(zero_copy_only=False)
+        vals = agg.column("n_chars").to_numpy(zero_copy_only=False)
+        cnts = agg.column("count_all_sum").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        order = np.lexsort((vals, codes))
+        scode, sval, scnt = codes[order], vals[order], cnts[order]
+        starts = np.flatnonzero(np.r_[True, scode[1:] != scode[:-1]])
+        ends = np.append(starts[1:], len(scode))
+        out_src, med, p90 = [], [], []
+        names = src.dictionary.to_pylist()
+        for s, e in zip(starts, ends):  # one iteration per SOURCE (tiny)
+            cum = np.cumsum(scnt[s:e])
+            n = int(cum[-1])
+            med.append(int(sval[s + np.searchsorted(
+                cum, int(np.ceil(0.5 * n)))]))
+            p90.append(int(sval[s + np.searchsorted(
+                cum, int(np.ceil(0.9 * n)))]))
+            out_src.append(names[scode[s]])
+        return pa.table({
+            "source": pa.array(out_src, type=pa.string()),
+            "median_n_chars": pa.array(med, type=pa.int64()),
+            "p90_n_chars": pa.array(p90, type=pa.int64()),
+        })
+
+    return parts.repartition(1).map_batches(final, batch_format="pyarrow")
+
+
+SQL_Q_SOURCE_QUANTILES = (
+    "SELECT source, CAST(quantile_disc(n_chars, 0.5) AS BIGINT) "
+    "AS median_n_chars, CAST(quantile_disc(n_chars, 0.9) AS BIGINT) "
+    "AS p90_n_chars FROM documents GROUP BY source"
+)
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
@@ -643,6 +700,83 @@ SQL_Q_ASOF_JOIN = (
     "               CASE WHEN event_type = 'view' THEN event_id END AS view_id "
     "        FROM events)"
     ") WHERE event_type = 'purchase'"
+)
+
+
+def q_range_join(sf_dir: str):
+    """Banded range join (attribution window count): for each purchase,
+    how many of the SAME user's views fall in the 2 h before it. The
+    composition Ray Data lacks natively: filter both streams at the read,
+    hash-partition on user, then — per partition — sort each stream once
+    and answer every purchase with two vectorized searchsorted calls over
+    a (dense-user, time-offset) composite key whose per-user blocks the
+    window can never cross. No per-user or per-purchase Python."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    window_us = 2 * 3600 * 1_000_000
+
+    def add_part(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(b.column("event_type"),
+                        value_set=pa.array(["view", "purchase"]))
+        t = b.filter(keep)
+        tag = pc.cast(pc.equal(t.column("event_type"), "purchase"), pa.int8())
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "user_id": t.column("user_id"),
+            "ts": t.column("ts"),
+            "tag": tag,
+            "part": pa.array((u % _LAG_PARTS).astype(np.int64)),
+        })
+
+    def count_window(g: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], type=pa.int64()),
+                          "n_views_2h": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        ev = g.column("event_id").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").cast(pa.timestamp("us")).cast(pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        is_p = tag == 1
+        if not is_p.any():
+            return empty
+        v_uid, v_ts = uid[~is_p], ts[~is_p]
+        p_uid, p_ts, p_ev = uid[is_p], ts[is_p], ev[is_p]
+        if len(v_uid) == 0:
+            return pa.table({"event_id": pa.array(p_ev, type=pa.int64()),
+                             "n_views_2h": pa.array(np.zeros(len(p_ev), np.int64))})
+        tmin = int(ts.min())
+        span = int(ts.max()) - tmin + window_us + 2
+        uniq = np.unique(uid)
+        assert len(uniq) * span < (1 << 62), "composite key would overflow"
+        d_v = np.searchsorted(uniq, v_uid).astype(np.int64)
+        d_p = np.searchsorted(uniq, p_uid).astype(np.int64)
+        key_v = np.sort(d_v * span + (v_ts - tmin))
+        off_lo = np.clip(p_ts - window_us - tmin, 0, span - 1)
+        off_hi = p_ts - tmin  # strict <, side="left"
+        lo = np.searchsorted(key_v, d_p * span + off_lo, side="left")
+        hi = np.searchsorted(key_v, d_p * span + off_hi, side="left")
+        return pa.table({
+            "event_id": pa.array(p_ev, type=pa.int64()),
+            "n_views_2h": pa.array(hi - lo, type=pa.int64()),
+        })
+
+    return ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(count_window, batch_format="pyarrow")
+
+
+SQL_Q_RANGE_JOIN = (
+    "SELECT p.event_id, count(v.event_id) AS n_views_2h "
+    "FROM events p LEFT JOIN events v "
+    "  ON v.user_id = p.user_id AND v.event_type = 'view' "
+    " AND v.ts >= p.ts - INTERVAL '2 hours' AND v.ts < p.ts "
+    "WHERE p.event_type = 'purchase' GROUP BY p.event_id"
 )
 
 

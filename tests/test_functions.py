@@ -307,3 +307,42 @@ def test_word_df_score_semantics(ray_session):
         words = texts[did].split(" ")
         exp = sum(df[w] for w in words) * 1000 // len(words)
         assert rows[did] == exp
+
+
+def test_range_join_semantics(ray_session, tmp_path):
+    from orc_ray.pipelines.queries_extras import q_range_join
+
+    # purchases at minute 130 (user 1): views at 0 (out of 2h window),
+    # 20, 100 (in), 130 (simultaneous: excluded by strict <), 140 (after)
+    rows = [
+        (1, 0, 1, "view"), (2, 20, 1, "view"), (3, 100, 1, "view"),
+        (4, 130, 1, "view"), (5, 140, 1, "view"),
+        (6, 130, 1, "purchase"),
+        (7, 60, 2, "purchase"),     # user 2 has no views -> 0
+        (8, 50, 3, "view"), (9, 55, 3, "error"),
+        (10, 51, 3, "purchase"),    # one in-window view
+    ]
+    _write_events(tmp_path, rows)
+    got = {r["event_id"]: r["n_views_2h"]
+           for r in q_range_join(str(tmp_path)).take_all()}
+    assert got == {6: 2, 7: 0, 10: 1}
+
+
+def test_source_quantiles_exact(ray_session):
+    from orc_ray.pipelines.queries_extras import q_source_quantiles
+
+    got = {r["source"]: (r["median_n_chars"], r["p90_n_chars"])
+           for r in q_source_quantiles(SF).take_all()}
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["source", "n_chars"])
+    by_src = {}
+    for s, n in zip(docs.column("source").to_pylist(),
+                    docs.column("n_chars").to_pylist()):
+        by_src.setdefault(s, []).append(n)
+    import math
+
+    for s, vals in by_src.items():
+        vals.sort()
+        n = len(vals)
+        exp = (vals[math.ceil(0.5 * n) - 1], vals[math.ceil(0.9 * n) - 1])
+        assert got[s] == exp, s
