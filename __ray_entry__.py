@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "word_df_score": x.q_word_df_score,
         "source_quantiles": x.q_source_quantiles,
         "topk_docs": x.q_topk_docs,
+        "group_topk": x.q_group_topk,
+        "distinct_pairs": x.q_distinct_pairs,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
         "prepare_corpus": x.q_prepare_corpus,
@@ -105,6 +107,8 @@ def oracle_sql() -> dict[str, str]:
         "word_df_score": x.SQL_Q_WORD_DF_SCORE,
         "source_quantiles": x.SQL_Q_SOURCE_QUANTILES,
         "topk_docs": x.SQL_Q_TOPK_DOCS,
+        "group_topk": x.SQL_Q_GROUP_TOPK,
+        "distinct_pairs": x.SQL_Q_DISTINCT_PAIRS,
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,

@@ -371,6 +371,93 @@ SQL_Q_SOURCE_QUANTILES = (
 )
 
 
+_GROUP_TOPK_PARTS = 32
+
+
+def _top3_per_source(b: pa.Table) -> pa.Table:
+    """Keep the top-3 rows per source by (n_chars DESC, doc_id ASC),
+    fully vectorized: one lexsort, group starts via flatnonzero, rank =
+    position minus group start."""
+    if b.num_rows == 0:
+        return pa.table({"source": pa.array([], type=pa.string()),
+                         "doc_id": pa.array([], type=pa.int64()),
+                         "n_chars": pa.array([], type=pa.int64())})
+    src = b.column("source").combine_chunks().dictionary_encode()
+    codes = src.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    did = b.column("doc_id").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    nch = b.column("n_chars").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    order = np.lexsort((did, -nch, codes))
+    sc = codes[order]
+    starts = np.flatnonzero(np.r_[True, sc[1:] != sc[:-1]])
+    group_of = np.cumsum(np.r_[0, np.diff(sc) != 0])
+    rank = np.arange(len(sc)) - starts[group_of]
+    keep = order[rank < 3]
+    keep.sort()  # preserve input order within the batch (deterministic)
+    return pa.table({
+        "source": b.column("source").take(pa.array(keep)),
+        "doc_id": pa.array(did[keep], type=pa.int64()),
+        "n_chars": pa.array(nch[keep], type=pa.int64()),
+    })
+
+
+def q_group_topk(sf_dir: str):
+    """Grouped top-k (3 longest docs per source) WITHOUT a global sort:
+    a per-batch partial top-3 combiner shrinks each block to <=3 rows per
+    source it contains, then the survivors hash-partition on source and
+    the SAME vectorized kernel finishes each partition. Only candidate
+    rows ever shuffle; the pattern scales to any source cardinality
+    (unlike a single-driver merge) and any row count (unlike sort+limit
+    per group)."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "source", "n_chars"])
+    partials = ds.map_batches(_top3_per_source, batch_format="pyarrow")
+
+    def add_part(b: pa.Table) -> pa.Table:
+        # deterministic vectorized hash: Python's hash() is salted per
+        # process and would scatter one source across partitions
+        from ..functions.texthash import string_hashes64
+
+        h = string_hashes64(b.column("source").combine_chunks())
+        return b.append_column(
+            "part", pa.array((h % _GROUP_TOPK_PARTS).astype(np.int64)))
+
+    def final(g: pa.Table) -> pa.Table:
+        return _top3_per_source(g.drop_columns(["part"]))
+
+    return partials.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(final, batch_format="pyarrow")
+
+
+SQL_Q_GROUP_TOPK = (
+    "SELECT source, doc_id, n_chars FROM documents "
+    "QUALIFY row_number() OVER "
+    "(PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 3"
+)
+
+
+def q_distinct_pairs(sf_dir: str):
+    """DISTINCT over a composite key as a two-level combiner: each batch
+    reduces to its unique (source, lang) pairs — bounded by the key
+    domain, not the row count — and one tiny final pass dedupes the
+    survivors. The `unique` operator without materializing the dataset
+    or shuffling raw rows."""
+    import ray.data
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["source", "lang"])
+
+    def uniq(b: pa.Table) -> pa.Table:
+        return b.group_by(["source", "lang"]).aggregate([])
+
+    return ds.map_batches(uniq, batch_format="pyarrow") \
+        .repartition(1).map_batches(uniq, batch_format="pyarrow")
+
+
+SQL_Q_DISTINCT_PAIRS = "SELECT DISTINCT source, lang FROM documents"
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):
