@@ -35,6 +35,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from orc_ray.pipelines import queries as q
     from orc_ray.pipelines import queries_extras as x
+    from orc_ray.pipelines import queries_relational as r
 
     return {
         # core encoder stack (SURVEY.md §2)
@@ -74,6 +75,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_lag": x.q_asof_lag,
         "asof_join": x.q_asof_join,
         "range_join": x.q_range_join,
+        # relational analytics (TPC-H-shaped tables)
+        "pricing_summary": r.q_pricing_summary,
+        "order_revenue": r.q_order_revenue,
+        "region_rollup": r.q_region_rollup,
+        "dormant_customers": r.q_dormant_customers,
         # similarity search
         "ann_topk": x.q_ann_topk,
         "ann_ivf": x.q_ann_ivf,
@@ -85,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def oracle_sql() -> dict[str, str]:
     from orc_ray.pipelines import queries as q
     from orc_ray.pipelines import queries_extras as x
+    from orc_ray.pipelines import queries_relational as r
 
     return {
         "tokenize_stats": q.SQL_TOKENIZE_STATS,
@@ -114,6 +121,10 @@ def oracle_sql() -> dict[str, str]:
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
         "simhash_pairs": x.SQL_Q_SIMHASH,
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
+        "pricing_summary": r.SQL_Q_PRICING_SUMMARY,
+        "order_revenue": r.SQL_Q_ORDER_REVENUE,
+        "region_rollup": r.SQL_Q_REGION_ROLLUP,
+        "dormant_customers": r.SQL_Q_DORMANT_CUSTOMERS,
         "ann_topk": x.SQL_Q_ANN_TOPK,
         "window_agg": x.SQL_Q_WINDOW_AGG,
         "sliding_window": x.SQL_Q_SLIDING_WINDOW,
