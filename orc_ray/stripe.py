@@ -1034,6 +1034,22 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         return _decode_column(fetch_full, cm, t, streams, n_rows).slice(
             lo, hi - lo)
 
+    if enc == "struct":
+        # recurse per child: struct children are full-length (they carry
+        # their own PRESENT), so the row range maps through unchanged and
+        # each child keeps whatever byte-sparse path its encoding has
+        children = [
+            _decode_column_rows(reader, fetch_full, cm["children"][i],
+                                field.type, streams, n_rows, lo, hi, stride)
+            for i, field in enumerate(t)]
+        mask = None
+        if cm.get("null_count", 0):
+            prec = streams.get((name, "PRESENT"))
+            if prec is None:
+                return full()
+            valid = byterle.decode_bools(fetch_full(prec), n_rows)
+            mask = pa.array(~valid[lo:hi])
+        return pa.StructArray.from_arrays(children, fields=list(t), mask=mask)
     valid_slice = None
     vlo, vhi = lo, hi
     if cm.get("null_count", 0):
@@ -1045,8 +1061,8 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         # byte-sparse reads. Without this every nullable column lost the
         # ~3% byte-touch property to a full-stream fallback.
         prec = streams.get((name, "PRESENT"))
-        if prec is None or enc not in ("int", "direct", "dict", "float",
-                                       "timestamp"):
+        if prec is None or enc not in ("int", "direct", "binary", "dict",
+                                       "float", "timestamp", "decimal"):
             return full()
         valid = byterle.decode_bools(fetch_full(prec), n_rows)
         valid_slice = valid[lo:hi]
@@ -1081,7 +1097,7 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         if valid_slice is None:
             return pa.array(vals, type=t)
         return _scatter_array(vals, valid_slice, t)
-    if enc == "direct":
+    if enc in ("direct", "binary"):
         len_rec = streams[(name, "LENGTH")]
         data_rec = streams[(name, "DATA")]
         bindex = data_rec.get("byte_index")
@@ -1136,6 +1152,27 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         if valid_slice is not None:
             return _scatter_strings(taken, valid_slice, t)
         return taken
+    if enc == "decimal":
+        lo64 = _int_range(reader, streams[(name, "DATA")], vlo, vhi)
+        hi64 = _int_range(reader, streams[(name, "SECONDARY")], vlo, vhi)
+        if valid_slice is not None:
+            lo_f = np.zeros(n_out, dtype=np.int64)
+            hi_f = np.zeros(n_out, dtype=np.int64)
+            lo_f[valid_slice] = lo64
+            hi_f[valid_slice] = hi64
+            lo64, hi64 = lo_f, hi_f
+        halves = np.empty(n_out * 2, dtype=np.int64)
+        halves[0::2] = lo64
+        halves[1::2] = hi64
+        vbuf = None
+        null_count = 0
+        if valid_slice is not None:
+            vbuf = pa.py_buffer(
+                np.packbits(valid_slice, bitorder="little").tobytes())
+            null_count = n_out - int(valid_slice.sum())
+        return pa.Array.from_buffers(
+            t, n_out, [vbuf, pa.py_buffer(halves.tobytes())],
+            null_count=null_count)
     if enc == "list" and "child" not in cm and "elem_offsets" in cm:
         len_rec = streams[(name, "LENGTH")]
         data_rec = streams[(name, "DATA")]

@@ -201,3 +201,58 @@ def test_range_decode_fallback_types():
         for c in t.column_names:
             assert exp.column(c).combine_chunks().to_pylist() == \
                 sub.column(c).combine_chunks().to_pylist(), (c, r0)
+
+
+@pytest.fixture(scope="module")
+def exotic_stripe():
+    """binary / decimal / struct columns at 1M rows: the encodings that
+    gained range paths after round 3 (binary rides the direct string
+    path, decimal range-reads its lo/hi int64 streams, struct recurses
+    into per-child range decodes)."""
+    rng = np.random.default_rng(33)
+    n = 1_000_000
+    ints = rng.integers(0, 1 << 30, n)
+    null_mask = rng.random(n) < 0.1
+    payload = pa.array(
+        [f"blob-{v:012d}".encode() for v in ints], type=pa.binary())
+    dec = pa.Array.from_buffers(
+        pa.decimal128(20, 2), n,
+        [None, pa.py_buffer(np.column_stack(
+            [ints.astype(np.int64),
+             np.zeros(n, dtype=np.int64)]).tobytes())])
+    t = pa.table({
+        "bin": payload,
+        "bin_null": pa.array(
+            [f"b{v:08d}".encode() for v in ints], type=pa.binary(),
+            mask=null_mask),
+        "dec": dec,
+        "st": pa.StructArray.from_arrays(
+            [pa.array(ints, type=pa.int64()),
+             pa.array([f"s-{v:09d}" for v in ints], type=pa.string())],
+            names=["a", "b"]),
+    })
+    cfg = EncoderConfig(stripe_target_tokens=10**9)
+    blob, meta = encode_table(t, cfg)
+    return t, bytes(blob), meta
+
+
+def test_exotic_range_decode_correct(exotic_stripe):
+    t, blob, meta = exotic_stripe
+    for (r0, cnt) in [(612345, 10000), (0, 1000), (999000, 1000), (7, 3)]:
+        sub, _ = decode_blob_rows(blob, meta, r0, cnt)
+        exp = t.slice(r0, cnt)
+        assert sub.num_rows == cnt
+        for c in t.column_names:
+            assert exp.column(c).combine_chunks().to_pylist() == \
+                sub.column(c).combine_chunks().to_pylist(), (c, r0)
+
+
+def test_exotic_range_decode_is_byte_sparse(exotic_stripe):
+    t, blob, meta = exotic_stripe
+    for col, cap in [("bin", 0.05), ("bin_null", 0.10), ("dec", 0.05),
+                     ("st", 0.05)]:
+        sub, touched = decode_blob_rows(blob, meta, 612345, 10000,
+                                        columns=[col])
+        assert sub.num_rows == 10000
+        frac = touched / len(blob)
+        assert frac < cap, f"{col}: 10k of 1M rows touched {frac:.1%}"
