@@ -118,16 +118,23 @@ SQL_Q_PRICING_SUMMARY = (
 
 # --- order revenue (TPC-H Q3 shape: filter + hash join + agg + top-k) ------
 
+_REV_PARTS = 64
+
+
 def q_order_revenue(sf_dir: str):
-    """Top-10 open orders by revenue: both sides filtered AT THE READ
-    (only surviving rows leave storage), lineitem pre-aggregated to
-    (orderkey, revenue) partials per batch BEFORE the distributed hash
-    join — the join input is the order-key cardinality, not the lineitem
-    row count — then a distributed groupby finishes the sum and a sort
-    over ONLY (revenue, orderkey, date) takes the top 10."""
+    """Top-10 open orders by revenue: both sides filtered AT THE READ,
+    lineitem pre-aggregated per batch to (orderkey, revenue) partials,
+    then BOTH streams tagged, unioned and co-grouped through ONE
+    fixed-partition exchange (``part = key % 64``) — the join AND the
+    final sum happen together in a vectorized merge inside each
+    partition. One wide op where groupby-then-hash-join would cost two;
+    only partial rows (not raw lineitem) and the filtered orders move.
+    A key-column-only sort then takes the top 10."""
     import pyarrow.compute as pc
+    import ray.data
 
     cut = pa.scalar(np.datetime64(_JOIN_DATE, "us"))
+    ts_t = pa.timestamp("us")
 
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
@@ -137,33 +144,83 @@ def q_order_revenue(sf_dir: str):
         rev = pc.multiply(
             t.column("l_extendedprice"),
             pc.subtract(pa.scalar(1.0), t.column("l_discount")))
-        g = pa.table({"l_orderkey": t.column("l_orderkey"),
-                      "rev100": _cents(rev)})
-        return g.group_by(["l_orderkey"]).aggregate([("rev100", "sum")])
-
-    li_agg = li.map_batches(li_partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").sum("rev100_sum")
+        g = pa.table({"key": t.column("l_orderkey").cast(pa.int64()),
+                      "rev100": _cents(rev)}) \
+            .group_by(["key"]).aggregate([("rev100", "sum")])
+        key = g.column("key").to_numpy()
+        return pa.table({
+            "key": g.column("key"),
+            "rev100": g.column("rev100_sum").cast(pa.int64()),
+            "odate": pa.nulls(g.num_rows, type=ts_t),
+            "tag": pa.array(np.zeros(g.num_rows, dtype=np.int8)),
+            "part": pa.array((key % _REV_PARTS).astype(np.int64)),
+        })
 
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
-    def o_filter(b: pa.Table) -> pa.Table:
-        return b.filter(pc.less(b.column("o_orderdate"), cut))
-
-    o_open = orders.map_batches(o_filter, batch_format="pyarrow")
-
-    joined = li_agg.join(o_open, "inner", num_partitions=_join_parts(),
-                         on=("l_orderkey",), right_on=("o_orderkey",))
-
-    def finish(b: pa.Table) -> pa.Table:
+    def o_rows(b: pa.Table) -> pa.Table:
+        t = b.filter(pc.less(b.column("o_orderdate"), cut))
+        key = t.column("o_orderkey").to_numpy().astype(np.int64)
         return pa.table({
-            "l_orderkey": b.column("l_orderkey").cast(pa.int64()),
-            "o_orderdate": b.column("o_orderdate"),
-            "revenue_x100": b.column("sum(rev100_sum)").cast(pa.int64()),
+            "key": t.column("o_orderkey").cast(pa.int64()),
+            "rev100": pa.array(np.zeros(t.num_rows, dtype=np.int64)),
+            "odate": t.column("o_orderdate").cast(ts_t),
+            "tag": pa.array(np.ones(t.num_rows, dtype=np.int8)),
+            "part": pa.array((key % _REV_PARTS).astype(np.int64)),
         })
 
-    return joined.map_batches(finish, batch_format="pyarrow") \
-        .sort(["revenue_x100", "l_orderkey"], descending=[True, False]) \
-        .limit(10)
+    tagged = li.map_batches(li_partial, batch_format="pyarrow").union(
+        orders.map_batches(o_rows, batch_format="pyarrow"))
+
+    def rev_partition(g: pa.Table) -> pa.Table:
+        empty = pa.table({"l_orderkey": pa.array([], type=pa.int64()),
+                          "o_orderdate": pa.array([], type=ts_t),
+                          "revenue_x100": pa.array([], type=pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        om = tag == 1
+        okeys = key[om]
+        if okeys.size == 0:
+            return empty
+        odates = g.column("odate").to_numpy(zero_copy_only=False)[om]
+        lk = key[~om]
+        lr = g.column("rev100").to_numpy(zero_copy_only=False)[~om]
+        if lk.size == 0:
+            return empty
+        lo = np.argsort(lk, kind="stable")
+        sk, sr = lk[lo], lr[lo]
+        starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+        uk = sk[starts]
+        sums = np.add.reduceat(sr, starts)
+        oo = np.argsort(okeys, kind="stable")
+        sok, sod = okeys[oo], odates[oo]
+        pos = np.clip(np.searchsorted(sok, uk), 0, sok.size - 1)
+        hit = sok[pos] == uk
+        jk, jd, js = uk[hit], sod[pos[hit]], sums[hit]
+        # local top-10: the global top-10 is a subset of the per-partition
+        # top-10s, so only 10 rows per partition leave this task
+        top = np.lexsort((jk, -js))[:10]
+        return pa.table({
+            "l_orderkey": pa.array(jk[top], type=pa.int64()),
+            "o_orderdate": pa.array(jd[top], type=ts_t),
+            "revenue_x100": pa.array(js[top], type=pa.int64()),
+        })
+
+    def final_top10(b: pa.Table) -> pa.Table:
+        k = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        s = b.column("revenue_x100").to_numpy(zero_copy_only=False)
+        top = np.lexsort((k, -s))[:10]
+        return pa.table({
+            "l_orderkey": b.column("l_orderkey").take(pa.array(top)),
+            "o_orderdate": b.column("o_orderdate").take(pa.array(top)),
+            "revenue_x100": b.column("revenue_x100").take(pa.array(top)),
+        })
+
+    return tagged.groupby("part") \
+        .map_groups(rev_partition, batch_format="pyarrow") \
+        .repartition(1).map_batches(final_top10, batch_format="pyarrow")
 
 
 SQL_Q_ORDER_REVENUE = (
