@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_docs": x.q_topk_docs,
         "group_topk": x.q_group_topk,
         "distinct_pairs": x.q_distinct_pairs,
+        "vocab_size": x.q_vocab_size,
+        "approx_distinct_words": x.q_approx_distinct_words,
         # dedup family
         "dedup_exact": x.q_dedup_exact,
         "prepare_corpus": x.q_prepare_corpus,
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "topk_docs": x.SQL_Q_TOPK_DOCS,
         "group_topk": x.SQL_Q_GROUP_TOPK,
         "distinct_pairs": x.SQL_Q_DISTINCT_PAIRS,
+        "vocab_size": x.SQL_Q_VOCAB_SIZE,
+        # approx_distinct_words: HLL sketch -> rows-only (pytest accuracy)
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,

@@ -458,6 +458,75 @@ def q_distinct_pairs(sf_dir: str):
 SQL_Q_DISTINCT_PAIRS = "SELECT DISTINCT source, lang FROM documents"
 
 
+def q_vocab_size(sf_dir: str):
+    """Exact corpus vocabulary size via the two-level distinct combiner:
+    each batch reduces its token stream to the batch-local word set
+    (bounded by vocabulary, not token count), the tiny survivors merge
+    once. The exact companion to q_approx_distinct_words."""
+    import ray.data
+
+    from ..functions.texthash import flat_words
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def uniq_words(b: pa.Table) -> pa.Table:
+        flat, _ = flat_words(b.column("text"))
+        return pa.table({"word": flat}).group_by(["word"]).aggregate([])
+
+    def count_distinct(b: pa.Table) -> pa.Table:
+        n = b.group_by(["word"]).aggregate([]).num_rows
+        return pa.table({"vocab_size": pa.array([n], type=pa.int64())})
+
+    return ds.map_batches(uniq_words, batch_format="pyarrow") \
+        .repartition(1).map_batches(count_distinct, batch_format="pyarrow")
+
+
+SQL_Q_VOCAB_SIZE = (
+    "SELECT count(DISTINCT word) AS vocab_size FROM "
+    "(SELECT unnest(string_split(text, ' ')) AS word FROM documents)"
+)
+
+
+_HLL_P = 12
+
+
+def q_approx_distinct_words(sf_dir: str):
+    """Approximate vocabulary size as a MERGEABLE SKETCH aggregate: each
+    batch emits one 4 KiB HyperLogLog register row regardless of row
+    count, the final merge is an elementwise register max — the estimate
+    is bit-identical to a single-pass sketch no matter how blocks split.
+    At 100 TB this moves kilobytes per block where the exact operator's
+    shuffle grows with vocabulary; rows-only driver check, accuracy vs
+    the exact count asserted in pytest (HLL p=12 -> ~1.6% rse)."""
+    import ray.data
+
+    from ..functions.texthash import flat_words, word_hashes64
+    from ..selector import CardinalitySketch
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["text"])
+
+    def sketch_batch(b: pa.Table) -> pa.Table:
+        flat, _ = flat_words(b.column("text"))
+        sk = CardinalitySketch(p=_HLL_P)
+        sk.add_hashes(word_hashes64(flat))
+        return pa.table({"regs": pa.array([sk.regs.tobytes()],
+                                          type=pa.binary())})
+
+    def merge(b: pa.Table) -> pa.Table:
+        raw = b.column("regs").combine_chunks()
+        regs = np.frombuffer(b"".join(raw.to_pylist()), dtype=np.uint8) \
+            .reshape(-1, 1 << _HLL_P)
+        sk = CardinalitySketch(p=_HLL_P)
+        sk.regs = regs.max(axis=0)
+        return pa.table({"approx_distinct_words": pa.array(
+            [int(round(sk.estimate()))], type=pa.int64())})
+
+    return ds.map_batches(sketch_batch, batch_format="pyarrow") \
+        .repartition(1).map_batches(merge, batch_format="pyarrow")
+
+
 # --- dedup -----------------------------------------------------------------
 
 def q_dedup_exact(sf_dir: str):

@@ -346,3 +346,38 @@ def test_source_quantiles_exact(ray_session):
         n = len(vals)
         exp = (vals[math.ceil(0.5 * n) - 1], vals[math.ceil(0.9 * n) - 1])
         assert got[s] == exp, s
+
+
+def test_vocab_size_and_hll_accuracy(ray_session):
+    """The HLL sketch aggregate must land within a few percent of the
+    exact distinct combiner on the same corpus (p=12 -> ~1.6% rse), and
+    the exact query must match a local recount."""
+    from orc_ray.pipelines.queries_extras import (
+        q_approx_distinct_words,
+        q_vocab_size,
+    )
+
+    exact = q_vocab_size(SF).take_all()[0]["vocab_size"]
+    approx = q_approx_distinct_words(SF).take_all()[0]["approx_distinct_words"]
+
+    texts = pq.read_table(f"{SF}/documents.parquet",
+                          columns=["text"]).column("text").to_pylist()
+    local = len({w for t in texts for w in t.split(" ")})
+    assert exact == local
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_hll_sketch_accuracy_high_cardinality(ray_session, tmp_path):
+    """Same sketch query over a ~60k-distinct-word corpus: the mergeable
+    HLL must stay within 5% (p=12 registers, ~1.6% rse)."""
+    from orc_ray.pipelines.queries_extras import q_approx_distinct_words
+
+    rng = np.random.default_rng(5)
+    words = [f"w{v:07d}" for v in rng.integers(0, 80_000, 120_000)]
+    docs = [" ".join(words[i:i + 12]) for i in range(0, len(words), 12)]
+    pq.write_table(pa.table({"text": pa.array(docs)}),
+                   str(tmp_path / "documents.parquet"))
+    exact = len({w for d in docs for w in d.split(" ")})
+    approx = q_approx_distinct_words(str(tmp_path)) \
+        .take_all()[0]["approx_distinct_words"]
+    assert abs(approx - exact) / exact < 0.05, (approx, exact)
