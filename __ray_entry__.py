@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_roundtrip": q.q_events_roundtrip,
         "words_roundtrip": q.q_words_roundtrip,
         "map_roundtrip": q.q_map_roundtrip,
+        "union_roundtrip": q.q_union_roundtrip,
         "bool_stats": q.q_bool_stats,
         # text analysis
         "token_count": x.q_token_count,
@@ -106,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
         "events_roundtrip": q.SQL_EVENTS_ROUNDTRIP,
         "words_roundtrip": q.SQL_WORDS_ROUNDTRIP,
         "map_roundtrip": q.SQL_MAP_ROUNDTRIP,
+        "union_roundtrip": q.SQL_UNION_ROUNDTRIP,
         "bool_stats": q.SQL_BOOL_STATS,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,

@@ -500,3 +500,80 @@ SQL_MAP_ROUNDTRIP = (
     "SELECT event_id, event_type AS k, "
     "CAST(round(value * 1000) AS BIGINT) AS v FROM events"
 )
+
+
+# --- q: union_roundtrip (dense union codec through the full gate) -----------
+
+def q_union_roundtrip(sf_dir: str):
+    """events -> build a dense union<i: int64, s: string> column (even
+    event_ids carry the rounded value, odd ones the event type) -> stripe
+    encode -> decode -> flatten back to (tag, i_val, s_val) scalars the
+    oracle can mirror with CASE expressions. Exercises the union codec
+    (C25) end-to-end through the Ray encode/decode gate."""
+    import ray.data
+
+    out = _work_dir(sf_dir, "encoded_union")
+    if os.path.isdir(out):
+        shutil.rmtree(out)
+
+    def add_union(b: pa.Table) -> pa.Table:
+        eid = b.column("event_id").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        v1000 = pc.cast(pc.round(pc.multiply(b.column("value"), 1000.0),
+                                 round_mode="half_towards_infinity"),
+                        pa.int64())
+        even = (eid % 2) == 0
+        types = np.where(even, 0, 1).astype(np.int8)
+        offsets = np.empty(len(eid), dtype=np.int32)
+        offsets[even] = np.arange(int(even.sum()), dtype=np.int32)
+        offsets[~even] = np.arange(int((~even).sum()), dtype=np.int32)
+        i_child = v1000.combine_chunks() if isinstance(
+            v1000, pa.ChunkedArray) else v1000
+        s_all = b.column("event_type").combine_chunks() if isinstance(
+            b.column("event_type"), pa.ChunkedArray) \
+            else b.column("event_type")
+        ua = pa.UnionArray.from_dense(
+            pa.array(types), pa.array(offsets, type=pa.int32()),
+            [i_child.filter(pa.array(even)), s_all.filter(pa.array(~even))],
+            field_names=["i", "s"])
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "u": ua,
+        })
+
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                               columns=["event_id", "event_type", "value"])
+    src = ds.map_batches(add_union, batch_format="pyarrow")
+    cfg = EncoderConfig(stripe_target_tokens=500_000)
+    encode_dataset_streaming(src, out, cfg, batch_rows=4096,
+                             concurrency=4).materialize()
+
+    def extract(b: pa.Table) -> pa.Table:
+        u = b.column("u")
+        if isinstance(u, pa.ChunkedArray):
+            u = u.combine_chunks()
+        tag = np.asarray(u.type_codes)
+        offs = np.asarray(u.offsets)
+        n = len(u)
+        mi = tag == 0
+        ivals = u.field(0).to_numpy(zero_copy_only=False)
+        i_out = np.zeros(n, dtype=np.int64)
+        i_out[mi] = ivals[offs[mi]]
+        s_idx = pa.array(np.where(~mi, offs, 0).astype(np.int64), mask=mi)
+        return pa.table({
+            "event_id": b.column("event_id").cast(pa.int64()),
+            "tag": pa.array(tag, type=pa.int8()),
+            "i_val": pa.array(i_out, type=pa.int64(), mask=~mi),
+            "s_val": u.field(1).take(s_idx),
+        })
+
+    return decode_dataset(out, concurrency=4).map_batches(
+        extract, batch_format="pyarrow")
+
+
+SQL_UNION_ROUNDTRIP = (
+    "SELECT event_id, CAST(event_id % 2 AS TINYINT) AS tag, "
+    "CASE WHEN event_id % 2 = 0 THEN CAST(round(value * 1000) AS BIGINT) "
+    "END AS i_val, "
+    "CASE WHEN event_id % 2 = 1 THEN event_type END AS s_val FROM events"
+)
