@@ -611,6 +611,10 @@ def _encode_map_column(name, arr, valid, w, config, selector, group, meta) -> di
     w.add(name, "LENGTH", len_codec, encode_int_stream(lengths, len_codec, False),
           signed=False)
     meta["encoding"] = "map"
+    stride = getattr(config, "row_index_stride", 0)
+    if stride and len(lengths) > stride:
+        rel = offsets - offsets[0]
+        meta["elem_offsets"] = [int(x) for x in rel[::stride]]
     meta["key"] = _encode_column(f"{name}._key", keys, w, config, selector, group)
     meta["value"] = _encode_column(f"{name}._value", items, w, config,
                                    selector, group)
@@ -1062,7 +1066,8 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         # ~3% byte-touch property to a full-stream fallback.
         prec = streams.get((name, "PRESENT"))
         if prec is None or enc not in ("int", "direct", "binary", "dict",
-                                       "float", "timestamp", "decimal"):
+                                       "float", "timestamp", "decimal",
+                                       "list", "map"):
             return full()
         valid = byterle.decode_bools(fetch_full(prec), n_rows)
         valid_slice = valid[lo:hi]
@@ -1173,29 +1178,60 @@ def _decode_column_rows(reader, fetch_full, cm, t, streams, n_rows, lo, hi,
         return pa.Array.from_buffers(
             t, n_out, [vbuf, pa.py_buffer(halves.tobytes())],
             null_count=null_count)
-    if enc == "list" and "child" not in cm and "elem_offsets" in cm:
+    if enc in ("list", "map") and "elem_offsets" in cm:
+        # locate the child VALUE range via the row-stride element-offset
+        # anchors (one LENGTH range read covers the partial-sum head and
+        # the requested lengths), then either range-read the flat int
+        # child directly or recurse — nested children keep whatever
+        # byte-sparse paths their own encodings have
         len_rec = streams[(name, "LENGTH")]
-        data_rec = streams[(name, "DATA")]
         eoffs = cm["elem_offsets"]
-        stride_rows = stride or max(n_rows, 1)
-        k = min(lo // stride_rows, len(eoffs) - 1)
-        base_row = k * stride_rows
-        both = _int_range(reader, len_rec, base_row, hi)
-        head = both[: lo - base_row]
-        lens = both[lo - base_row:]
+        stride_vals = stride or max(n_rows, 1)
+        k = min(vlo // stride_vals, len(eoffs) - 1)
+        base_val = k * stride_vals
+        both = _int_range(reader, len_rec, base_val, vhi)
+        head = both[: vlo - base_val]
+        lens = both[vlo - base_val:]
         el0 = eoffs[k] + int(head.sum())
         el1 = el0 + int(lens.sum())
-        child_np = np.dtype(t.value_type.to_pandas_dtype()) \
-            if pa.types.is_integer(t.value_type) else np.int64
-        out_dtype = np.int32 if (child_np == np.int32
-                                 and data_rec["codec"] == "rle2") else np.int64
-        vals = _int_range(reader, data_rec, el0, el1, out_dtype)
-        child = _int_array(vals, t.value_type, None, el1 - el0)
-        offsets = np.zeros(hi - lo + 1, dtype=np.int64)
+        items = None
+        if enc == "list" and "child" not in cm:
+            data_rec = streams[(name, "DATA")]
+            child_np = np.dtype(t.value_type.to_pandas_dtype()) \
+                if pa.types.is_integer(t.value_type) else np.int64
+            out_dtype = np.int32 if (child_np == np.int32
+                                     and data_rec["codec"] == "rle2") \
+                else np.int64
+            vals = _int_range(reader, data_rec, el0, el1, out_dtype)
+            child = _int_array(vals, t.value_type, None, el1 - el0)
+        elif enc == "list":
+            total = cm["stats"]["total_elements"]
+            child = _decode_column_rows(reader, fetch_full, cm["child"],
+                                        t.value_type, streams, total,
+                                        el0, el1, stride)
+        else:
+            total = cm["stats"]["total_entries"]
+            child = _decode_column_rows(reader, fetch_full, cm["key"],
+                                        t.key_type, streams, total,
+                                        el0, el1, stride)
+            items = _decode_column_rows(reader, fetch_full, cm["value"],
+                                        t.item_type, streams, total,
+                                        el0, el1, stride)
+        offsets = np.zeros(len(lens) + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-        if pa.types.is_large_list(t):
-            return pa.LargeListArray.from_arrays(
+        if enc == "map":
+            out = pa.MapArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()),
+                child, items)
+            if out.type != t:  # restore field names lost by from_arrays
+                out = out.cast(t)
+        elif pa.types.is_large_list(t):
+            out = pa.LargeListArray.from_arrays(
                 pa.array(offsets, type=pa.int64()), child)
-        return pa.ListArray.from_arrays(
-            pa.array(offsets.astype(np.int32), type=pa.int32()), child)
+        else:
+            out = pa.ListArray.from_arrays(
+                pa.array(offsets.astype(np.int32), type=pa.int32()), child)
+        if valid_slice is not None:
+            return _scatter_generic(out, valid_slice)
+        return out
     return full()

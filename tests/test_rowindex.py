@@ -256,3 +256,58 @@ def test_exotic_range_decode_is_byte_sparse(exotic_stripe):
         assert sub.num_rows == 10000
         frac = touched / len(blob)
         assert frac < cap, f"{col}: 10k of 1M rows touched {frac:.1%}"
+
+
+@pytest.fixture(scope="module")
+def nested_stripe():
+    """map and recursive-child list columns at 400k rows: the generic
+    LENGTH-anchored range path (elem_offsets -> child value range ->
+    per-child recursion)."""
+    rng = np.random.default_rng(44)
+    n = 400_000
+    lens = rng.integers(1, 5, n)
+    total = int(lens.sum())
+    off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=off[1:])
+    words = pa.array([f"w{v:06d}" for v in rng.integers(0, 99_991, total)])
+    lst = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), type=pa.int32()), words)
+    null_mask = rng.random(n) < 0.1
+    ints = rng.integers(0, 1 << 20, n)
+    lst_null = pa.ListArray.from_arrays(
+        pa.array(off.astype(np.int32), type=pa.int32()),
+        pa.array(rng.integers(0, 1 << 20, total), type=pa.int64()))
+    lst_null = lst_null.filter(pa.array(~null_mask)).take(
+        pa.array(np.clip(np.cumsum(~null_mask) - 1, 0, None), type=pa.int64()))
+    lst_null = pa.ListArray.from_arrays(
+        pa.array(lst_null.offsets), lst_null.values, mask=pa.array(null_mask))
+    mp = pa.MapArray.from_arrays(
+        pa.array(np.arange(0, 2 * n + 1, 2, dtype=np.int32), type=pa.int32()),
+        pa.array([f"k{v % 7}" for v in range(2 * n)]),
+        pa.array(np.arange(2 * n), type=pa.int64()))
+    t = pa.table({"words": lst, "ln": lst_null, "kv": mp,
+                  "i": pa.array(ints, type=pa.int64())})
+    cfg = EncoderConfig(stripe_target_tokens=10**9)
+    blob, meta = encode_table(t, cfg)
+    return t, bytes(blob), meta
+
+
+def test_nested_range_decode_correct(nested_stripe):
+    t, blob, meta = nested_stripe
+    for (r0, cnt) in [(212345, 5000), (0, 1000), (399000, 1000), (7, 3)]:
+        sub, _ = decode_blob_rows(blob, meta, r0, cnt)
+        exp = t.slice(r0, cnt)
+        assert sub.num_rows == cnt
+        for c in t.column_names:
+            assert exp.column(c).combine_chunks().to_pylist() == \
+                sub.column(c).combine_chunks().to_pylist(), (c, r0)
+
+
+def test_nested_range_decode_is_byte_sparse(nested_stripe):
+    t, blob, meta = nested_stripe
+    for col, cap in [("words", 0.08), ("ln", 0.12), ("kv", 0.08)]:
+        sub, touched = decode_blob_rows(blob, meta, 212345, 5000,
+                                        columns=[col])
+        assert sub.num_rows == 5000
+        frac = touched / len(blob)
+        assert frac < cap, f"{col}: 5k of 400k rows touched {frac:.1%}"
