@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": x.q_dedup_exact,
         "prepare_corpus": x.q_prepare_corpus,
         "ngram_dedup_pairs": x.q_ngram_dedup_pairs,
+        "dedup_keep": x.q_dedup_keep,
         "simhash_pairs": x.q_simhash,
         "embedding_neardup": x.q_embedding_neardup,
         "embedding_neardup_ivf": x.q_embedding_neardup_ivf,
@@ -125,6 +126,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": x.SQL_Q_DEDUP_EXACT,
         "prepare_corpus": x.SQL_Q_PREPARE_CORPUS,
         "ngram_dedup_pairs": x.SQL_Q_NGRAM_DEDUP,
+        "dedup_keep": x.SQL_Q_DEDUP_KEEP,
         "simhash_pairs": x.SQL_Q_SIMHASH,
         "embedding_neardup": x.SQL_Q_EMB_NEARDUP,
         "pricing_summary": r.SQL_Q_PRICING_SUMMARY,

@@ -506,6 +506,95 @@ def _pairs_table(a, b, j) -> pa.Table:
     })
 
 
+# --- cluster closure (keep-one-representative dedup) ------------------------
+
+def _component_reps(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Connected components over an undirected pair set: returns (sorted
+    member doc_ids, the min doc_id of each member's component). Union-find
+    with path halving over compacted indices; the pair set is metadata-sized
+    (O(near-dup docs)), so the loop cost is bounded by the same contract the
+    broadcast verify path already relies on."""
+    ids = np.unique(np.concatenate([a, b]))
+    n = len(ids)
+    parent = np.arange(n, dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    ia = np.searchsorted(ids, a)
+    ib = np.searchsorted(ids, b)
+    for x, y in zip(ia.tolist(), ib.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            parent[max(rx, ry)] = min(rx, ry)
+    roots = np.fromiter((find(i) for i in range(n)), dtype=np.int64, count=n)
+    # ids is sorted, so the min doc of a component is the id at the smallest
+    # member index = the root index itself after min-directed unions; still
+    # compute it defensively via a scatter-min
+    reps = np.full(n, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(reps, roots, ids)
+    return ids, reps[roots]
+
+
+class _AttachRep:
+    """Actor-pool stage: broadcast (member ids, reps) once per actor, then
+    map each doc_id batch to its cluster representative (itself when it is
+    in no near-dup pair)."""
+
+    def __init__(self, store_ref):
+        import ray
+
+        self.ids, self.reps = ray.get(store_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        rep = d.copy()
+        if len(self.ids):
+            pos = np.searchsorted(self.ids, d)
+            pos = np.minimum(pos, len(self.ids) - 1)
+            hit = self.ids[pos] == d
+            rep[hit] = self.reps[pos[hit]]
+        return pa.table({
+            "doc_id": pa.array(d, type=pa.int64()),
+            "rep_doc_id": pa.array(rep, type=pa.int64()),
+        })
+
+
+def dedup_cluster_reps(docs_ds, pairs_ds, concurrency: int = 2):
+    """Keep-one-representative near-dup dedup: transitive closure over a
+    near-dup pair Dataset (e.g. minhash_dedup_pairs), assigning every doc
+    its cluster representative — the min doc_id of its connected component.
+    Survivors of the dedup are exactly the rows where
+    ``doc_id == rep_doc_id``; the full assignment is returned so callers can
+    also rewrite foreign keys to the representative.
+
+    Scale shape: the pair graph is metadata-sized (near-dup docs only), so
+    closure runs driver-side in one union-find pass and the (ids, reps)
+    arrays are broadcast once via ``ray.put``; the corpus streams through an
+    actor-pool lookup stage and never materializes.
+    """
+    import ray
+    import ray.data as rd  # noqa: F401  (docs_ds is already a Dataset)
+
+    tbls = list(pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    if tbls:
+        pt = pa.concat_tables(tbls)
+        a = pt.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        b = pt.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+    else:
+        a = b = np.empty(0, dtype=np.int64)
+    ids, reps = _component_reps(a, b) if len(a) else (
+        np.empty(0, np.int64), np.empty(0, np.int64))
+    store_ref = ray.put((ids, reps))
+    return docs_ds.select_columns(["doc_id"]).map_batches(
+        _AttachRep, fn_constructor_kwargs={"store_ref": store_ref},
+        batch_format="pyarrow", concurrency=concurrency, num_cpus=1)
+
+
 # --- simhash ---------------------------------------------------------------
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -27,19 +27,25 @@ from ..stripe import decode_blob
 
 
 class StripeDecoder:
-    def __init__(self, out_dir: str, columns: list[str] | None = None):
+    def __init__(self, out_dir: str, columns: list[str] | None = None,
+                 postprocess=None):
         from .._tuning import prewarm
 
         prewarm()
         self.blobs_dir = mf.blobs_dir(out_dir)
         self.columns = columns
+        # applied to each decoded stripe table INSIDE the decode task —
+        # lets callers flatten types Ray cannot re-serialize as slice views
+        # (dense unions) before the block ever leaves the worker
+        self.postprocess = postprocess
 
     def __call__(self, man: pa.Table):
         for row in man.select(["blob_path", "meta_json"]).to_pylist():
             with open(os.path.join(self.blobs_dir, row["blob_path"]), "rb") as f:
                 blob = f.read()
             meta = json.loads(row["meta_json"])
-            yield decode_blob(blob, meta, columns=self.columns)
+            t = decode_blob(blob, meta, columns=self.columns)
+            yield self.postprocess(t) if self.postprocess is not None else t
 
 
 class ManifestShardDecoder(StripeDecoder):
@@ -104,8 +110,12 @@ def decode_dataset(
     out_dir: str,
     columns: list[str] | None = None,
     concurrency: int | tuple[int, int] | None = None,
+    postprocess=None,
 ):
-    """Lazy decoded Dataset over an encoded directory."""
+    """Lazy decoded Dataset over an encoded directory. ``postprocess``
+    (optional table->table callable) runs inside each decode task on every
+    stripe table before the block is emitted — required when the decoded
+    schema contains dense unions, whose slice views Ray cannot serialize."""
     from .encode import _default_concurrency
 
     if concurrency is None:
@@ -113,7 +123,8 @@ def decode_dataset(
     ds, cls, n_units = manifest_feed(out_dir, concurrency)
     return ds.map_batches(
         cls,
-        fn_constructor_kwargs={"out_dir": out_dir, "columns": columns},
+        fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
+                               "postprocess": postprocess},
         batch_size=None,
         batch_format="pyarrow",
         concurrency=clamp_concurrency(concurrency, n_units),

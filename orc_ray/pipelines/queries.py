@@ -567,8 +567,10 @@ def q_union_roundtrip(sf_dir: str):
             "s_val": u.field(1).take(s_idx),
         })
 
-    return decode_dataset(out, concurrency=4).map_batches(
-        extract, batch_format="pyarrow")
+    # extract runs INSIDE the decode task (postprocess): Ray cannot
+    # serialize slice views of dense-union arrays, so the union column
+    # must be flattened before the block leaves the decode worker
+    return decode_dataset(out, concurrency=4, postprocess=extract)
 
 
 SQL_UNION_ROUNDTRIP = (

@@ -582,6 +582,43 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_dedup_keep(sf_dir: str):
+    """Near-dup keep-one-representative dedup: transitive closure over the
+    minhash >=0.8 pair set (already bit-exact vs the SQL shingle-Jaccard
+    oracle), assigning every doc the min doc_id of its connected component.
+    Docs with no near-dup point at themselves; survivors are the rows with
+    doc_id == rep_doc_id."""
+    pairs = dedup.minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.8)
+    return dedup.dedup_cluster_reps(_docs_ds(sf_dir), pairs)
+
+
+SQL_Q_DEDUP_KEEP = """
+WITH RECURSIVE pairs AS (
+  WITH words AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+  sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS s
+         FROM words, unnest(range(1, len(w)-1)) AS t(i)),
+  cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+  SELECT da AS doc_a, db AS doc_b FROM inter
+  JOIN cnt ca ON ca.doc_id = da JOIN cnt cb ON cb.doc_id = db
+  WHERE i * 1000 >= 800 * (ca.n + cb.n - i)
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+)
+SELECT d.doc_id,
+       least(d.doc_id, coalesce(min(r.b), d.doc_id)) AS rep_doc_id
+FROM documents d LEFT JOIN reach r ON r.a = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 def q_simhash(sf_dir: str):
     """SimHash near-dup pairs (hamming <= 3), fully distributed: signature
     map_batches -> 16-bit chunk banding groupby (lossless by pigeonhole)

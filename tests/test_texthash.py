@@ -338,3 +338,36 @@ def test_dedup_degenerate_corpus(ray_session):
     sh_pairs = {(r["doc_a"], r["doc_b"]) for r in sh_t.to_pylist()}
     # identical docs have hamming 0: the full cluster must be present
     assert {(10, 11), (10, 12), (308, 309)} <= sh_pairs
+
+
+def test_component_reps_closure():
+    """Union-find closure: chains, a separate 2-cluster, and ids absent
+    from any pair must resolve to component-min representatives."""
+    import numpy as np
+
+    a = np.array([1, 5, 2, 40], dtype=np.int64)
+    b = np.array([5, 9, 3, 12], dtype=np.int64)
+    ids, reps = dedup._component_reps(a, b)
+    got = dict(zip(ids.tolist(), reps.tolist()))
+    assert got == {1: 1, 5: 1, 9: 1, 2: 2, 3: 2, 12: 12, 40: 12}
+
+
+def test_dedup_keep_matches_recursive_sql(ray_session):
+    """q_dedup_keep (pairs -> transitive closure -> broadcast rep lookup)
+    must equal the DuckDB recursive-CTE oracle on the fixture corpus."""
+    import duckdb
+
+    from orc_ray.pipelines.queries_extras import SQL_Q_DEDUP_KEEP, q_dedup_keep
+
+    res = q_dedup_keep(SF)
+    mine = pa.concat_tables(
+        list(res.iter_batches(batch_format="pyarrow", batch_size=None)))
+    con = duckdb.connect()
+    con.sql("CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')")
+    oracle = con.sql(SQL_Q_DEDUP_KEEP).arrow()
+    key = lambda r: r["doc_id"]
+    assert sorted(mine.to_pylist(), key=key) == sorted(oracle.to_pylist(), key=key)
+    # survivors: every rep must be a fixed point (rep of a rep is itself)
+    rep_of = {r["doc_id"]: r["rep_doc_id"] for r in mine.to_pylist()}
+    assert all(rep_of[v] == v for v in set(rep_of.values()))
