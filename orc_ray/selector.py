@@ -51,6 +51,34 @@ def _delta_view(values: np.ndarray) -> np.ndarray:
     return d
 
 
+# --- user-extension surface (SURVEY §2.10) ----------------------------------
+# Pluggable int codecs: the Ray analogue of the reference's
+# IntegerWriter/IntegerReader interfaces + factory dispatch
+# (treewriter.go:190-205, treereader.go:117-126, treewriterfactory.go).
+# A registered id participates in measured-size auto-selection when listed
+# in EncoderConfig.int_candidates and round-trips through the manifest by
+# id. Registration is process-local: in a Ray job, register from a module
+# imported on the workers too (the same contract as any Ray UDF plugin).
+_BUILTIN_INT_CODECS = ("rle2", "rle2_delta", "for", "planar", "bytes")
+_INT_CODEC_REGISTRY: dict[str, tuple] = {}
+
+
+def register_int_codec(codec_id: str, encoder, decoder) -> None:
+    """Register a custom whole-stream int codec.
+
+    encoder(values: np.ndarray[int], signed: bool) -> bytes
+    decoder(buf: bytes, signed: bool, n: int, out_dtype) -> np.ndarray
+        (must return at least the first ``n`` values of the stream)
+    """
+    if codec_id in _BUILTIN_INT_CODECS:
+        raise ValueError(f"cannot override builtin codec {codec_id!r}")
+    _INT_CODEC_REGISTRY[codec_id] = (encoder, decoder)
+
+
+def unregister_int_codec(codec_id: str) -> None:
+    _INT_CODEC_REGISTRY.pop(codec_id, None)
+
+
 def encode_int_stream(values: np.ndarray, codec: str, signed: bool) -> bytes:
     if codec == "rle2":
         return rle2.encode(values, signed)
@@ -62,6 +90,8 @@ def encode_int_stream(values: np.ndarray, codec: str, signed: bool) -> bytes:
         return planar.encode(values)
     if codec == "bytes":
         return np.ascontiguousarray(values, dtype=np.int64).tobytes()
+    if codec in _INT_CODEC_REGISTRY:
+        return _INT_CODEC_REGISTRY[codec][0](values, signed)
     raise ValueError(f"unknown int codec {codec!r}")
 
 
@@ -77,6 +107,8 @@ def decode_int_stream(buf: bytes, codec: str, signed: bool, n: int,
         return planar.decode(buf, out_dtype=out_dtype)
     if codec == "bytes":
         return np.frombuffer(buf, dtype=np.int64, count=n)
+    if codec in _INT_CODEC_REGISTRY:
+        return _INT_CODEC_REGISTRY[codec][1](buf, signed, n, out_dtype)
     raise ValueError(f"unknown int codec {codec!r}")
 
 
