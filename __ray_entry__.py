@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_roundtrip": q.q_map_roundtrip,
         "union_roundtrip": q.q_union_roundtrip,
         "bool_stats": q.q_bool_stats,
+        "orc_import": q.q_orc_import,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -110,6 +111,7 @@ def oracle_sql() -> dict[str, str]:
         "map_roundtrip": q.SQL_MAP_ROUNDTRIP,
         "union_roundtrip": q.SQL_UNION_ROUNDTRIP,
         "bool_stats": q.SQL_BOOL_STATS,
+        "orc_import": q.SQL_ORC_IMPORT,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,

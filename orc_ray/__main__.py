@@ -187,6 +187,33 @@ def cmd_schema(args) -> int:
     return 0
 
 
+def cmd_import_orc(args) -> int:
+    """Decode a foreign Apache-ORC file to parquet/csv (or print info)."""
+    from .sources.orcfile import ORCFile
+
+    f = ORCFile(args.file)
+    if args.out is None:
+        info = {
+            "rows": f.number_of_rows,
+            "stripes": len(f.stripes),
+            "compression": f.compression,
+            "schema": {nm: str(ty) for nm, ty in zip(
+                f.arrow_schema().names, f.arrow_schema().types)},
+            "writer_timezone": f.writer_timezone(0),
+        }
+        print(json.dumps(info, indent=2))
+        return 0
+    table = f.read(columns=args.columns.split(",") if args.columns else None)
+    if args.out.endswith(".csv"):
+        import pyarrow.csv as pacsv
+        pacsv.write_csv(table, args.out)
+    else:
+        import pyarrow.parquet as pq
+        pq.write_table(table, args.out)
+    print(f"wrote {table.num_rows} rows -> {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="orc_ray")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -241,6 +268,14 @@ def main(argv=None) -> int:
     p.add_argument("--columns", action="store_true",
                    help="include file-level merged per-column statistics")
     p.set_defaults(fn=cmd_stats)
+
+    p = sub.add_parser("import-orc",
+                       help="decode a foreign Apache-ORC file (info/parquet/csv)")
+    p.add_argument("file")
+    p.add_argument("--out", default=None,
+                   help="output path (.parquet or .csv); omit to print file info")
+    p.add_argument("--columns", default=None, help="comma-separated projection")
+    p.set_defaults(fn=cmd_import_orc)
 
     p = sub.add_parser("schema", help="print encoded dataset schema as DDL")
     p.add_argument("--dir", required=True)

@@ -579,3 +579,32 @@ SQL_UNION_ROUNDTRIP = (
     "END AS i_val, "
     "CASE WHEN event_id % 2 = 1 THEN event_type END AS s_val FROM events"
 )
+
+
+def q_orc_import(sf_dir: str):
+    """Foreign-ORC ingest (SURVEY.md §2 S9 closure): write the events
+    table to a real Apache-ORC file (pyarrow writer, zlib, small stripes
+    so the decode fans out) and read it back through the foreign-ORC
+    reader's distributed per-stripe path. Oracle: the source table."""
+    import hashlib
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    from ..sources.orcfile import read_orc
+
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(src)
+    dst = os.path.join("/tmp", "orc_ray_work",
+                       f"import_{hashlib.md5(src.encode()).hexdigest()[:8]}.orc")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    schema = t.schema
+
+    def recast(b: pa.Table) -> pa.Table:
+        return b.cast(schema)  # ORC carries ns timestamps; source is us
+
+    return read_orc(dst).map_batches(recast, batch_format="pyarrow")
+
+
+SQL_ORC_IMPORT = "SELECT event_id, ts, user_id, event_type, value, props FROM events"

@@ -1,0 +1,73 @@
+"""Foreign-ORC import surface: distributed read_orc(), pyarrow
+cross-check on driver-shaped tables, projection, and the CLI command."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.orc as paorc
+import pyarrow.parquet as pq
+
+from orc_ray.__main__ import main
+from orc_ray.sources.orcfile import ORCFile, read_orc
+
+SF = "/root/testdata/sf0.001"
+
+
+def _write_orc(tmp_path, table_name, **kw):
+    t = pq.read_table(f"{SF}/{table_name}.parquet")
+    dst = str(tmp_path / f"{table_name}.orc")
+    paorc.write_table(t, dst, compression=kw.pop("compression", "zlib"), **kw)
+    return t, dst
+
+
+def test_pyarrow_orc_crosscheck(tmp_path):
+    """Every driver-table type (ints, strings, doubles, us-timestamps)
+    round-trips pyarrow-ORC -> our reader bit-identical."""
+    for name in ("supplier", "events", "lineitem", "documents"):
+        t, dst = _write_orc(tmp_path, name)
+        mine = ORCFile(dst).read()
+        assert mine.num_rows == t.num_rows
+        for c in t.column_names:
+            a = t.column(c).combine_chunks()
+            b = mine.column(c).combine_chunks()
+            if a.type != b.type:
+                b = b.cast(a.type)
+            assert a.equals(b), f"{name}.{c} differs"
+
+
+def test_read_orc_dataset_distributed(ray_session, tmp_path):
+    """Per-stripe distributed decode: small stripes force multiple decode
+    tasks; result equals the source table."""
+    base = pq.read_table("/root/testdata/sf0.01/events.parquet")
+    t = pa.concat_tables([base] * 4)
+    t = t.append_column("rid", pa.array(range(t.num_rows), pa.int64()))
+    dst = str(tmp_path / "events.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    f = ORCFile(dst)
+    assert len(f.stripes) > 1, "expected multiple stripes"
+    ds = read_orc(dst)
+    got = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).cast(t.schema)
+    got = got.sort_by("rid")
+    assert got.equals(t)
+
+
+def test_read_orc_projection(tmp_path):
+    t, dst = _write_orc(tmp_path, "documents")
+    mine = ORCFile(dst).read(columns=["doc_id", "n_chars"])
+    assert mine.column_names == ["doc_id", "n_chars"]
+    assert mine.column("doc_id").combine_chunks().equals(
+        t.column("doc_id").combine_chunks())
+
+
+def test_cli_import_orc(tmp_path, capsys):
+    _, dst = _write_orc(tmp_path, "supplier")
+    assert main(["import-orc", dst]) == 0
+    info = json.loads(capsys.readouterr().out)
+    assert info["rows"] == 10 and info["stripes"] >= 1
+
+    out = str(tmp_path / "sup.parquet")
+    assert main(["import-orc", dst, "--out", out]) == 0
+    capsys.readouterr()
+    assert pq.read_table(out).num_rows == 10

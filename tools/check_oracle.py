@@ -66,6 +66,9 @@ def main():
             con.sql(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
 
     qs = e.queries()
+    only = set(sys.argv[2:])  # optional query-name filter
+    if only:
+        qs = {k: v for k, v in qs.items() if k in only}
     oracles = e.oracle_sql()
     failures = 0
     for name, fn in qs.items():
