@@ -67,6 +67,27 @@ class PartialTopK:
         })
 
 
+def train_sample(ds, id_col: str = "vec_id", target: int = 4096) -> pa.Table:
+    """Deterministic hash-stratified training sample for coarse
+    quantizers.  A head sample (``ds.limit``) is biased when the table is
+    sorted/clustered by source — the first blocks share one distribution
+    and recall quietly degrades.  Hashing the id column (Knuth
+    multiplicative) picks rows uniformly across the whole table at the
+    same cost, and the keep-rate is derived from the (metadata-only)
+    count so roughly ``target`` rows survive."""
+    n = ds.count()
+    rate = min(1.0, (target * 1.25) / max(n, 1))
+    thresh = np.uint64(int(rate * 2 ** 32))
+
+    def pick(b: pa.Table) -> pa.Table:
+        ids = b.column(id_col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        return b.filter(pa.array(h < thresh))
+
+    rows = ds.map_batches(pick, batch_format="pyarrow").limit(target).take_all()
+    return pa.Table.from_pylist(rows)
+
+
 def brute_force_topk(ds, query_table: pa.Table, k: int = 10) -> pa.Table:
     """Exact top-k (excluding self-matches) as (query_id, vec_id, rank,
     cosine_x1e4)."""
@@ -187,7 +208,7 @@ def ivf_topk(ds, query_table: pa.Table, k: int = 10, ncentroids: int = 16,
 
     from ..pipelines.encode import _default_concurrency
 
-    sample = pa.Table.from_pylist(ds.limit(4096).take_all())
+    sample = train_sample(ds)
     s_emb, _ = _emb_matrix(sample)
     index = IVFIndex(ncentroids=ncentroids)
     index.train(s_emb)

@@ -550,7 +550,12 @@ class _AttachRep:
         self.ids, self.reps = ray.get(store_ref)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        col = batch.column("doc_id")
+        if col.null_count:
+            # a null would come back as float64 NaN and silently astype to
+            # a garbage id — fail loudly instead
+            raise ValueError("dedup_cluster_reps: doc_id column contains nulls")
+        d = col.to_numpy(zero_copy_only=False).astype(np.int64)
         rep = d.copy()
         if len(self.ids):
             pos = np.searchsorted(self.ids, d)
@@ -563,7 +568,81 @@ class _AttachRep:
         })
 
 
-def dedup_cluster_reps(docs_ds, pairs_ds, concurrency: int = 2):
+def component_labels_ds(pairs_ds, num_partitions: int | None = None,
+                        max_rounds: int = 64):
+    """Distributed connected components over a pair Dataset by iterated
+    hash-partitioned min-label propagation: each round hash-joins the
+    symmetric edge set against the current labels and takes the per-node
+    min — only (node, label) int64 rows ever shuffle, never doc payloads.
+    Converges in O(component diameter) rounds (2-3 for the star/clique
+    graphs near-dup pair sets form); the label sum is the fixpoint
+    detector (strictly decreasing until converged). Returns a Dataset
+    (node, label) where label = min doc_id of the node's component,
+    covering every node that appears in a pair.
+
+    This is the open-ended-scale path for ``dedup_cluster_reps``: a
+    pathologically dup-heavy corpus makes the pair set proportional to
+    the corpus, where a driver-side union-find would OOM."""
+    import ray
+    from ray.data.aggregate import Min, Sum
+
+    if num_partitions is None:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        num_partitions = max(2, min(16, cpus // 4))
+
+    def symmetrize(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").cast(pa.int64())
+        c = b.column("doc_b").cast(pa.int64())
+        return pa.table({
+            "node": pa.concat_arrays([a.combine_chunks(), c.combine_chunks()]),
+            "nbr": pa.concat_arrays([c.combine_chunks(), a.combine_chunks()]),
+        })
+
+    edges = pairs_ds.map_batches(symmetrize, batch_format="pyarrow").materialize()
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return pa.table({"node": b.column("node"),
+                         "label": b.column("min(label)").cast(pa.int64())})
+
+    # round 0: label(v) = min(v, min neighbor)
+    seed = edges.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([b.column("node").combine_chunks()] * 2),
+            "label": pa.concat_arrays([b.column("node").combine_chunks(),
+                                       b.column("nbr").combine_chunks()]),
+        }), batch_format="pyarrow")
+    labels = seed.groupby("node").aggregate(Min("label")).map_batches(
+        _rename, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label"))["sum(label)"]
+
+    for _ in range(max_rounds):
+        j = edges.join(labels, "inner", num_partitions=num_partitions,
+                       on=("nbr",), right_on=("node",),
+                       left_suffix="", right_suffix="_r")
+        prop = j.map_batches(
+            lambda b: pa.table({"node": b.column("node"),
+                                "label": b.column("label")}),
+            batch_format="pyarrow")
+        labels_new = prop.union(
+            labels
+        ).groupby("node").aggregate(Min("label")).map_batches(
+            _rename, batch_format="pyarrow").materialize()
+        new_sum = labels_new.aggregate(Sum("label"))["sum(label)"]
+        labels = labels_new
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels
+
+
+# Above this many pairs the driver-side union-find flips to the
+# distributed label-propagation path (the pair graph is no longer
+# "metadata-sized" and pulling it to the driver risks OOM).
+DRIVER_CLOSURE_MAX_PAIRS = 2_000_000
+
+
+def dedup_cluster_reps(docs_ds, pairs_ds, concurrency: int = 2,
+                       max_driver_pairs: int = DRIVER_CLOSURE_MAX_PAIRS):
     """Keep-one-representative near-dup dedup: transitive closure over a
     near-dup pair Dataset (e.g. minhash_dedup_pairs), assigning every doc
     its cluster representative — the min doc_id of its connected component.
@@ -576,11 +655,36 @@ def dedup_cluster_reps(docs_ds, pairs_ds, concurrency: int = 2):
     arrays are broadcast once via ``ray.put``; the corpus streams through an
     actor-pool lookup stage and never materializes.
     """
+    import logging
+
     import ray
     import ray.data as rd  # noqa: F401  (docs_ds is already a Dataset)
 
-    tbls = list(pairs_ds.select_columns(["doc_a", "doc_b"]).iter_batches(
-        batch_format="pyarrow", batch_size=None))
+    pairs = pairs_ds.select_columns(["doc_a", "doc_b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs > max_driver_pairs:
+        # open-ended scale: distributed min-label propagation; the pair
+        # graph never lands on the driver
+        logging.getLogger(__name__).info(
+            "dedup_cluster_reps: %d pairs > %d, using distributed "
+            "connected components", n_pairs, max_driver_pairs)
+        labels = component_labels_ds(pairs)
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        joined = docs_ds.select_columns(["doc_id"]).join(
+            labels, "left_outer",
+            num_partitions=max(2, min(16, cpus // 4)),
+            on=("doc_id",), right_on=("node",))
+
+        def finish(b: pa.Table) -> pa.Table:
+            doc = b.column("doc_id").cast(pa.int64())
+            lbl = b.column("label").cast(pa.int64())
+            import pyarrow.compute as _pc
+            return pa.table({"doc_id": doc,
+                             "rep_doc_id": _pc.coalesce(lbl, doc)})
+
+        return joined.map_batches(finish, batch_format="pyarrow")
+
+    tbls = list(pairs.iter_batches(batch_format="pyarrow", batch_size=None))
     if tbls:
         pt = pa.concat_tables(tbls)
         a = pt.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -860,9 +964,9 @@ def embedding_near_pairs_ivf(ds, threshold: float = 0.95, ncentroids: int = 16,
     probability; recall is asserted in pytest (rows-only driver check)."""
     import ray
 
-    from .ann import IVFIndex, _emb_matrix
+    from .ann import IVFIndex, _emb_matrix, train_sample
 
-    sample = pa.Table.from_pylist(ds.limit(4096).take_all())
+    sample = train_sample(ds)
     s_emb, _ = _emb_matrix(sample)
     index = IVFIndex(ncentroids=ncentroids)
     index.train(s_emb)

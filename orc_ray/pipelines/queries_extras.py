@@ -23,16 +23,21 @@ from ..functions.text import (
 )
 
 
-def _docs_ds(sf_dir: str):
+def _docs_ds(sf_dir: str, columns: list[str]):
+    """documents table, ALWAYS column-pruned at the read: text dominates
+    bytes, so a caller that only needs (doc_id, n_chars) must not drag it
+    off storage (the 100-TB unpruned-scan rule)."""
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                                 columns=columns)
 
 
-def _emb_ds(sf_dir: str):
+def _emb_ds(sf_dir: str, columns: list[str]):
     import ray.data
 
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                                 columns=columns)
 
 
 # --- text analysis ---------------------------------------------------------
@@ -41,7 +46,7 @@ def q_token_count(sf_dir: str):
     from .._tuning import remote_args
     from .encode import _default_concurrency
 
-    return _docs_ds(sf_dir).map_batches(
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         TokenCounter, batch_format="pyarrow",
         concurrency=min(4, _default_concurrency()), num_cpus=1, **remote_args(),
     )
@@ -51,7 +56,7 @@ SQL_Q_TOKEN_COUNT = SQL_TOKEN_COUNT
 
 
 def q_quality(sf_dir: str):
-    return _docs_ds(sf_dir).map_batches(quality_batch, batch_format="pyarrow")
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(quality_batch, batch_format="pyarrow")
 
 
 SQL_Q_QUALITY = SQL_QUALITY
@@ -62,7 +67,7 @@ def q_langid(sf_dir: str):
     counts + first-max argmax, mirrored exactly in SQL_LANGID."""
     from .encode import _default_concurrency
 
-    return _docs_ds(sf_dir).map_batches(
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(
         LangId, batch_format="pyarrow",
         concurrency=min(4, _default_concurrency()), num_cpus=1,
     )
@@ -76,7 +81,7 @@ def q_fingerprint(sf_dir: str):
         t = fingerprint_batch(b)
         return t.select(["doc_id", "md5"])
 
-    return _docs_ds(sf_dir).map_batches(md5_only, batch_format="pyarrow")
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(md5_only, batch_format="pyarrow")
 
 
 SQL_Q_FINGERPRINT = SQL_FINGERPRINT
@@ -108,7 +113,7 @@ def q_decontaminate(sf_dir: str):
         })
         return t.filter(pc.greater(t.column("n_hits"), 0))
 
-    return _docs_ds(sf_dir).map_batches(scan, batch_format="pyarrow")
+    return _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(scan, batch_format="pyarrow")
 
 
 SQL_Q_DECONTAMINATE = (
@@ -142,7 +147,7 @@ def q_sample_stratified(sf_dir: str):
         })
         return out.filter(keep)
 
-    return _docs_ds(sf_dir).map_batches(sample, batch_format="pyarrow")
+    return _docs_ds(sf_dir, ["doc_id", "text", "source"]).map_batches(sample, batch_format="pyarrow")
 
 
 SQL_Q_SAMPLE = (
@@ -152,23 +157,38 @@ SQL_Q_SAMPLE = (
 )
 
 
-def q_word_df_score(sf_dir: str):
+# Above this vocabulary cardinality q_word_df_score flips from a
+# driver-broadcast dict to a distributed hash-join on word: an
+# open-vocabulary web corpus has an unbounded word set, and pulling the
+# full df table to the driver (take_all) would OOM it.
+WORD_DF_BROADCAST_MAX_VOCAB = 1_000_000
+
+
+def q_word_df_score(sf_dir: str,
+                    max_broadcast_vocab: int = WORD_DF_BROADCAST_MAX_VOCAB):
     """Corpus-statistics quality scoring (CCNet-style): pass 1 builds the
     word -> document-frequency table with a distributed groupby over
-    per-batch-distinct (doc, word) pairs; pass 2 broadcasts the vocab once
-    (``ray.put``, read per actor in __init__) and scores every token via
-    per-batch ``dictionary_encode`` — the df dict is probed once per
-    DISTINCT word per batch, tokens resolve by take(). At open-vocabulary
-    scale the broadcast flips to the hash-join pattern used by dedup
-    verify; for bounded vocabularies this path avoids the shuffle
-    entirely."""
+    per-batch-distinct (doc, word, cnt) triples.  The scoring pass is then
+    auto-selected by the (now known) vocabulary cardinality:
+
+    * bounded vocab (<= ``max_broadcast_vocab``): the df table is pulled
+      once and broadcast via ``ray.put`` (read per actor in __init__);
+      every token resolves through per-batch ``dictionary_encode`` — the
+      dict is probed once per DISTINCT word per batch.  No shuffle.
+    * open vocab: the df table STAYS distributed and the per-doc distinct
+      word-count triples hash-join against it on ``word``; per-doc means
+      come from a final groupby(doc_id) over (sum cnt*df, sum cnt)
+      partials.  Nothing vocabulary-sized ever lands on the driver.
+
+    Both paths produce identical (doc_id, mean_df_x1000) rows (same SQL
+    oracle; pytest forces the join path and cross-checks)."""
     import pyarrow.compute as pc
     import ray
     import ray.data
 
-    docs = _docs_ds(sf_dir)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
 
-    def distinct_pairs(b: pa.Table) -> pa.Table:
+    def word_counts(b: pa.Table) -> pa.Table:
         words = pc.split_pattern(b.column("text"), " ")
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
@@ -177,10 +197,50 @@ def q_word_df_score(sf_dir: str):
                         .astype(np.int64), n)
         t = pa.table({"doc_id": pa.array(doc), "word": words.flatten()})
         # a doc lives in exactly one batch, so per-batch distinct == global
-        return t.group_by(["doc_id", "word"]).aggregate([])
+        return t.group_by(["doc_id", "word"]).aggregate([("word", "count")])
 
-    df_rows = docs.map_batches(distinct_pairs, batch_format="pyarrow") \
-        .groupby("word").count().take_all()
+    # (word, count()) = number of docs containing word; distributed groupby
+    df_ds = docs.map_batches(word_counts, batch_format="pyarrow") \
+        .select_columns(["doc_id", "word"]).groupby("word").count() \
+        .materialize()
+    nvocab = df_ds.count()
+
+    if nvocab > max_broadcast_vocab:
+        # --- open-vocabulary path: distributed hash-join on word --------
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        nparts = max(2, min(16, cpus // 4))
+        wc = docs.map_batches(word_counts, batch_format="pyarrow")
+        joined = wc.join(df_ds, "inner", num_partitions=nparts,
+                         on=("word",))
+
+        def partials(b: pa.Table) -> pa.Table:
+            cnt = b.column("word_count").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            df = b.column("count()").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "s": pa.array(cnt * df), "n": pa.array(cnt),
+            })
+
+        agg = joined.map_batches(partials, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(ray.data.aggregate.Sum("s"),
+                                         ray.data.aggregate.Sum("n"))
+
+        def finish(b: pa.Table) -> pa.Table:
+            s = b.column("sum(s)").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            n = b.column("sum(n)").to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            return pa.table({
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "mean_df_x1000": pa.array(s * 1000 // n, type=pa.int64()),
+            })
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    # --- bounded-vocabulary path: broadcast dict, zero shuffle ----------
+    df_rows = df_ds.take_all()
     vocab_ref = ray.put({r["word"]: r["count()"] for r in df_rows})
 
     class Scorer:
@@ -227,7 +287,7 @@ def q_topk_docs(sf_dir: str):
     Dataset sort/limit surface; deterministic via the doc_id tiebreak).
     At scale the sort is Ray's range-partitioned shuffle over ONLY the two
     key columns."""
-    ds = _docs_ds(sf_dir).map_batches(
+    ds = _docs_ds(sf_dir, ["doc_id", "n_chars"]).map_batches(
         lambda b: pa.table({
             "doc_id": b.column("doc_id").cast(pa.int64()),
             "n_chars": b.column("n_chars").cast(pa.int64()),
@@ -538,7 +598,7 @@ def q_dedup_exact(sf_dir: str):
         t = fingerprint_batch(b)
         return t.select(["doc_id", "md5"])
 
-    ds = _docs_ds(sf_dir).map_batches(keys, batch_format="pyarrow")
+    ds = _docs_ds(sf_dir, ["doc_id", "text"]).map_batches(keys, batch_format="pyarrow")
     agg = ds.groupby("md5").aggregate(
         ray.data.aggregate.Min("doc_id"), ray.data.aggregate.Count()
     )
@@ -562,7 +622,8 @@ SQL_Q_DEDUP_EXACT = (
 def q_ngram_dedup_pairs(sf_dir: str):
     """MinHash(128) + LSH(32x4) + exact shingle-Jaccard verify; equals the
     exact >=0.8 pair set (miss probability < 1e-7 at the threshold)."""
-    return dedup.minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.8)
+    return dedup.minhash_dedup_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
 
 
 SQL_Q_NGRAM_DEDUP = """
@@ -588,8 +649,9 @@ def q_dedup_keep(sf_dir: str):
     oracle), assigning every doc the min doc_id of its connected component.
     Docs with no near-dup point at themselves; survivors are the rows with
     doc_id == rep_doc_id."""
-    pairs = dedup.minhash_dedup_pairs(_docs_ds(sf_dir), threshold=0.8)
-    return dedup.dedup_cluster_reps(_docs_ds(sf_dir), pairs)
+    pairs = dedup.minhash_dedup_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
+    return dedup.dedup_cluster_reps(_docs_ds(sf_dir, ["doc_id"]), pairs)
 
 
 SQL_Q_DEDUP_KEEP = """
@@ -624,7 +686,8 @@ def q_simhash(sf_dir: str):
     map_batches -> 16-bit chunk banding groupby (lossless by pigeonhole)
     -> vectorized per-run hamming -> distributed pair dedup. The word hash
     is SQL-mirrorable, so this is oracle-checked bit-for-bit."""
-    return dedup.simhash_dedup_pairs(_docs_ds(sf_dir), max_hamming=3)
+    return dedup.simhash_dedup_pairs(
+        _docs_ds(sf_dir, ["doc_id", "text"]), max_hamming=3)
 
 
 SQL_Q_SIMHASH = dedup.sql_simhash_pairs(3)
@@ -633,7 +696,7 @@ SQL_Q_SIMHASH = dedup.sql_simhash_pairs(3)
 def q_embedding_neardup(sf_dir: str):
     """Exact cosine near-dup pairs, distributed over block-pair tiles
     (no driver-side table read; see dedup.embedding_near_pairs_ds)."""
-    return dedup.embedding_near_pairs_ds(_emb_ds(sf_dir), threshold=0.3,
+    return dedup.embedding_near_pairs_ds(_emb_ds(sf_dir, ["vec_id", "embedding"]), threshold=0.3,
                                          nblocks=8, concurrency=4)
 
 
@@ -642,7 +705,7 @@ def q_embedding_neardup_ivf(sf_dir: str):
     multi-assigned to their 2 nearest centroids, pairs found within
     buckets only — rows-only driver check; recall vs the exact operator is
     asserted in pytest."""
-    return dedup.embedding_near_pairs_ivf(_emb_ds(sf_dir), threshold=0.3,
+    return dedup.embedding_near_pairs_ivf(_emb_ds(sf_dir, ["vec_id", "embedding"]), threshold=0.3,
                                           ncentroids=8, nassign=2)
 
 
@@ -663,7 +726,8 @@ def _query_vectors(sf_dir: str) -> pa.Table:
 
 
 def q_ann_topk(sf_dir: str):
-    return ann.brute_force_topk(_emb_ds(sf_dir), _query_vectors(sf_dir), k=5)
+    return ann.brute_force_topk(_emb_ds(sf_dir, ["vec_id", "embedding"]),
+                                _query_vectors(sf_dir), k=5)
 
 
 SQL_Q_ANN_TOPK = """
@@ -684,7 +748,8 @@ SELECT query_id, vec_id, rank, cosine_x1e4 FROM (
 def q_ann_ivf(sf_dir: str):
     """IVF approximate top-k — rows-only check (approximation is the point);
     recall vs brute force asserted in pytest instead."""
-    return ann.ivf_topk(_emb_ds(sf_dir), _query_vectors(sf_dir), k=5)
+    return ann.ivf_topk(_emb_ds(sf_dir, ["vec_id", "embedding"]),
+                        _query_vectors(sf_dir), k=5)
 
 
 # --- multimodal ------------------------------------------------------------

@@ -60,6 +60,14 @@ def _delta_view(values: np.ndarray) -> np.ndarray:
 # id. Registration is process-local: in a Ray job, register from a module
 # imported on the workers too (the same contract as any Ray UDF plugin).
 _BUILTIN_INT_CODECS = ("rle2", "rle2_delta", "for", "planar", "bytes")
+# ids with special-cased handling ANYWHERE in stream/blob records (e.g.
+# StripeWriter.add's outer-compression gate treats 'zlib'/'fsst' as
+# already-entropy-coded): a user codec under one of these names would get
+# silently different write-path behavior, so they are reserved too.
+_RESERVED_CODEC_IDS = _BUILTIN_INT_CODECS + (
+    "zlib", "fsst", "none", "snappy",   # outer/blob compression gates
+    "dict", "int", "direct", "binary",  # encoding names in stream meta
+)
 _INT_CODEC_REGISTRY: dict[str, tuple] = {}
 
 
@@ -70,8 +78,8 @@ def register_int_codec(codec_id: str, encoder, decoder) -> None:
     decoder(buf: bytes, signed: bool, n: int, out_dtype) -> np.ndarray
         (must return at least the first ``n`` values of the stream)
     """
-    if codec_id in _BUILTIN_INT_CODECS:
-        raise ValueError(f"cannot override builtin codec {codec_id!r}")
+    if codec_id in _RESERVED_CODEC_IDS:
+        raise ValueError(f"cannot override reserved codec id {codec_id!r}")
     _INT_CODEC_REGISTRY[codec_id] = (encoder, decoder)
 
 

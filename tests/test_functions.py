@@ -309,6 +309,19 @@ def test_word_df_score_semantics(ray_session):
         assert rows[did] == exp
 
 
+def test_word_df_score_join_path(ray_session):
+    """max_broadcast_vocab=0 forces the open-vocabulary distributed
+    hash-join path; it must produce exactly the broadcast path's rows
+    (the driver never sees the df table on this path)."""
+    from orc_ray.pipelines.queries_extras import q_word_df_score
+
+    broadcast = {r["doc_id"]: r["mean_df_x1000"]
+                 for r in q_word_df_score(SF).take_all()}
+    joined = {r["doc_id"]: r["mean_df_x1000"]
+              for r in q_word_df_score(SF, max_broadcast_vocab=0).take_all()}
+    assert joined == broadcast
+
+
 def test_range_join_semantics(ray_session, tmp_path):
     from orc_ray.pipelines.queries_extras import q_range_join
 
@@ -381,3 +394,91 @@ def test_hll_sketch_accuracy_high_cardinality(ray_session, tmp_path):
     approx = q_approx_distinct_words(str(tmp_path)) \
         .take_all()[0]["approx_distinct_words"]
     assert abs(approx - exact) / exact < 0.05, (approx, exact)
+
+
+def test_ivf_recall_source_sorted(ray_session):
+    """Adversarial layout for quantizer training: two orthogonal clusters
+    stored fully sorted (all of A, then all of B).  A head sample
+    (ds.limit) would train centroids on cluster A only, scattering B's
+    neighbors across buckets; the hash-stratified train_sample sees both
+    clusters and keeps recall high."""
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    n_half = 2048
+    a = np.zeros(dim); a[0] = 1.0
+    b = np.zeros(dim); b[1] = 1.0
+    va = a + rng.normal(0, 0.05, (n_half, dim))
+    vb = b + rng.normal(0, 0.05, (n_half, dim))
+    vecs = np.vstack([va, vb])  # source-sorted: A block then B block
+    t = pa.table({
+        "vec_id": pa.array(np.arange(2 * n_half), type=pa.int64()),
+        "embedding": pa.array(list(vecs.astype(np.float32))),
+    })
+    ds = ray.data.from_arrow(t)
+
+    # sanity: the stratified sample covers both halves
+    sample = ann.train_sample(ds, target=512)
+    ids = np.asarray(sample.column("vec_id").to_numpy(zero_copy_only=False))
+    assert (ids < n_half).any() and (ids >= n_half).any()
+
+    queries = t.slice(n_half, 5)  # cluster-B queries
+    exact = ann.brute_force_topk(ray.data.from_arrow(t), queries, k=5)
+    approx = ann.ivf_topk(ray.data.from_arrow(t), queries, k=5,
+                          ncentroids=8, nprobe=2)
+    ex = set(zip(exact.column("query_id").to_pylist(),
+                 exact.column("vec_id").to_pylist()))
+    ap = set(zip(approx.column("query_id").to_pylist(),
+                 approx.column("vec_id").to_pylist()))
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.7, f"IVF recall on sorted layout {recall}"
+
+
+def test_component_labels_distributed_matches_unionfind(ray_session):
+    """Distributed min-label propagation == driver union-find on a graph
+    with stars, a long chain (forces multiple propagation rounds), and
+    singletons left out of the pair set."""
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    edges = []
+    # star clusters
+    for c in range(20):
+        hub = c * 100
+        edges += [(hub, hub + i) for i in range(1, 8)]
+    # a 30-node chain: diameter forces >2 rounds
+    chain = [(5000 + i, 5000 + i + 1) for i in range(30)]
+    edges += chain
+    rng.shuffle(edges)
+    a = np.array([min(e) for e in edges], np.int64)
+    b = np.array([max(e) for e in edges], np.int64)
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array(a), "doc_b": pa.array(b)}))
+
+    labels = dedup.component_labels_ds(pairs, num_partitions=2)
+    got = {}
+    for t in labels.iter_batches(batch_format="pyarrow", batch_size=None):
+        got.update(zip(t.column("node").to_pylist(),
+                       t.column("label").to_pylist()))
+
+    ids, reps = dedup._component_reps(a, b)
+    want = dict(zip(ids.tolist(), reps.tolist()))
+    assert got == want
+
+
+def test_dedup_cluster_reps_forced_distributed(ray_session):
+    """dedup_cluster_reps with max_driver_pairs=0 exercises the
+    distributed closure + left-outer attach; singleton docs self-rep."""
+    import ray.data
+
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 10], pa.int64())}))
+    pairs = ray.data.from_arrow(pa.table({
+        "doc_a": pa.array([1, 2], pa.int64()),
+        "doc_b": pa.array([2, 3], pa.int64())}))
+    out = dedup.dedup_cluster_reps(docs, pairs, max_driver_pairs=0)
+    t = pa.concat_tables(out.iter_batches(batch_format="pyarrow",
+                                          batch_size=None)).sort_by("doc_id")
+    assert t.column("doc_id").to_pylist() == [1, 2, 3, 4, 10]
+    assert t.column("rep_doc_id").to_pylist() == [1, 1, 1, 4, 10]

@@ -354,7 +354,16 @@ def test_component_reps_closure():
 
 def test_dedup_keep_matches_recursive_sql(ray_session):
     """q_dedup_keep (pairs -> transitive closure -> broadcast rep lookup)
-    must equal the DuckDB recursive-CTE oracle on the fixture corpus."""
+    must equal the DuckDB recursive-CTE oracle on the fixture corpus.
+
+    Recall assumption: equality with the EXACT closure holds because
+    minhash_dedup_pairs' LSH banding (32 bands x 4 rows) misses a true
+    Jaccard>=0.8 pair with probability < 1e-7 per pair — effectively
+    never on this fixture, but probabilistic in general.  If the corpus,
+    shingling, or hash seeds change and this test flakes, the miss
+    probability math in dedup.minhash_dedup_pairs is the first suspect
+    (the pairs themselves are exact-verified; only *recall* is
+    probabilistic)."""
     import duckdb
 
     from orc_ray.pipelines.queries_extras import SQL_Q_DEDUP_KEEP, q_dedup_keep
