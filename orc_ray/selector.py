@@ -23,17 +23,25 @@ from __future__ import annotations
 
 import numpy as np
 
-from .codecs import forpack, planar, rle2, zlibchunk
+from .codecs import forpack, planar, rle2, zlibchunk, zstdchunk
 from .config import EncoderConfig
 
 
 def _sample(values: np.ndarray, max_n: int) -> np.ndarray:
-    """Deterministic strided sample of ~max_n values."""
+    """Deterministic sample of ~max_n values as CONTIGUOUS blocks spread
+    across the stream. A strided single-value sample destroys the local
+    structure (runs, ramps, plane stationarity) that run-length and
+    frame-of-reference codecs exploit — measured on the bench corpus it
+    inverts the codec ranking (planar reads 1.9 B/val on a strided sample
+    vs 1.0 on the real stream). Block sampling preserves within-block
+    structure; the handful of block seams is noise."""
     n = len(values)
     if n <= max_n:
         return values
-    step = n // max_n
-    return values[:: step][:max_n]
+    nblocks = 16
+    block = max(1, max_n // nblocks)
+    starts = (np.arange(nblocks, dtype=np.int64) * (n - block)) // max(nblocks - 1, 1)
+    return np.concatenate([values[s: s + block] for s in starts])
 
 
 def _delta_view(values: np.ndarray) -> np.ndarray:
@@ -131,16 +139,21 @@ def choose_int_codec(
     if len(candidates) == 1 or len(values) == 0:
         return candidates[0]
     s = _sample(values, config.selector_sample_values)
-    # measure what actually hits disk: the outer chunked-zlib stage keeps
-    # the smaller of (raw, deflated) per stream, and codecs differ sharply
-    # in how zlib-friendly their output is (byte-planes vs odd-width packs)
-    post_zlib = config.outer_compression != "none"
+    # measure what actually hits disk: the outer block-compression stage
+    # keeps the smaller of (raw, compressed) per stream, and codecs differ
+    # sharply in how compressible their output is (byte-planes vs
+    # odd-width packs) — so measure with the SAME outer kind the writer
+    # will use
+    outer = config.outer_compression
     best, best_size = None, None
     for c in candidates:
         try:
             enc = encode_int_stream(s, c, signed)
             size = len(enc)
-            if post_zlib:
+            if outer in ("auto", "zstd"):
+                size = min(size, len(zstdchunk.compress(
+                    enc, level=getattr(config, "zstd_level", 1))))
+            elif outer == "zlib":
                 size = min(size, len(zlibchunk.compress(enc, level=config.zlib_level)))
         except Exception:
             continue

@@ -56,18 +56,34 @@ def test_selector_dispatch():
 
 
 def test_selector_prefers_planar_on_tokenlike_data_post_zlib():
-    """Uniform token ids in [0, 50k): odd-width FOR beats planar pre-zlib,
-    but planar wins after the outer zlib stage — the selector must measure
-    the post-zlib size."""
+    """Uniform token ids in [0, 50k): odd-width FOR beats planar pre-
+    compression, but planar wins after an outer DEFLATE stage (its Huffman
+    pass exploits the skewed high plane) — the selector must measure the
+    post-outer size with the outer kind the writer will use."""
     rng = np.random.default_rng(3)
     v = rng.integers(0, 50_257, 200_000).astype(np.int32)
-    cfg = EncoderConfig()
-    assert cfg.outer_compression != "none"
+    cfg = EncoderConfig(outer_compression="zlib")
     choice = choose_int_codec(v, False, cfg)
     assert choice == "planar"
     # with the outer stage disabled the raw-size ranking returns
     cfg_raw = EncoderConfig(outer_compression="none")
     assert choose_int_codec(v, False, cfg_raw) != "planar"
+
+
+def test_selector_prefers_planar_on_mixed_corpus_post_zstd():
+    """The default outer kind (zstd): on the bench corpus's mixed
+    uniform/run/ramp token streams, plane-splitting exposes the run and
+    ramp bytes to the block compressor and planar must win the measured
+    choice (a strided sample used to invert this ranking — block sampling
+    keeps the local structure the measurement depends on)."""
+    from orc_ray.sources.tokens import synthesize_tokens
+
+    t = synthesize_tokens(5_000, seed=42)
+    v = t.column("tokens").combine_chunks().values.to_numpy(
+        zero_copy_only=False).astype(np.int32)
+    cfg = EncoderConfig()
+    assert cfg.outer_compression == "auto"  # auto = measured zstd
+    assert choose_int_codec(v, False, cfg) == "planar"
 
 
 @pytest.mark.parametrize("base", [0, -100, 2**20])
