@@ -26,19 +26,13 @@ _I64 = np.int64
 _U8 = np.uint8
 
 
-def _split_planes(res: np.ndarray, k: int) -> bytes:
-    """res: uint32 or uint64 residual array -> k concatenated byte planes."""
-    n = len(res)
-    itemsize = res.dtype.itemsize
-    le = res.view(_U8).reshape(n, itemsize)
-    # one contiguous output buffer, column-copied (planes are the transpose)
-    out = np.empty((k, n), dtype=_U8)
-    for p in range(k):
-        out[p, :] = le[:, p]
-    return out.tobytes()
-
-
-def encode(values: np.ndarray) -> bytes:
+def encode_parts(values: np.ndarray) -> tuple[bytes, np.ndarray | None]:
+    """Fused-path entry: ``(header, planes)`` where ``planes`` is the
+    C-contiguous ``(k, n)`` uint8 plane matrix (``None`` for the empty
+    stream). ``header + planes.tobytes()`` equals :func:`encode`'s output,
+    but the caller can feed the plane buffer straight into a chunked block
+    compressor (zstdchunk.compress_parts) so the joined stream — 2-3x the
+    compressed size on token data — is never materialized."""
     if values.dtype in (np.int32, np.uint32):
         v = np.ascontiguousarray(values)
         narrow = True
@@ -48,7 +42,7 @@ def encode(values: np.ndarray) -> bytes:
     out = bytearray()
     write_vulong(out, len(v))
     if len(v) == 0:
-        return bytes(out)
+        return bytes(out), None
     vmin = int(v.min())
     vmax = int(v.max())
     write_vslong(out, vmin)
@@ -59,8 +53,19 @@ def encode(values: np.ndarray) -> bytes:
         res = v.view(np.uint32) - np.uint32(vmin & 0xFFFFFFFF)
     else:
         res = v.view(_U64) - _U64(vmin & 0xFFFFFFFFFFFFFFFF)
-    out.extend(_split_planes(res, k))
-    return bytes(out)
+    n = len(res)
+    le = res.view(_U8).reshape(n, res.dtype.itemsize)
+    planes = np.empty((k, n), dtype=_U8)
+    for p in range(k):
+        planes[p, :] = le[:, p]
+    return bytes(out), planes
+
+
+def encode(values: np.ndarray) -> bytes:
+    header, planes = encode_parts(values)
+    if planes is None:
+        return header
+    return header + planes.tobytes()
 
 
 def decode(buf: bytes, out_dtype=np.int64) -> np.ndarray:
