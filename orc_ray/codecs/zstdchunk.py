@@ -22,7 +22,12 @@ import pyarrow as pa
 from .zlibchunk import DEFAULT_CHUNK, MAX_CHUNK, _header, chunk_offsets
 
 __all__ = ["compress", "decompress", "decompress_chunks", "chunk_offsets",
-           "DEFAULT_CHUNK"]
+           "DEFAULT_CHUNK", "SEEK_CHUNK"]
+
+# seekable streams compress in smaller chunks so a row-range read rounds to
+# 64 KiB per covered plane/slice instead of 256 KiB — measured +0.4% size
+# on token planes for ~4x tighter range reads
+SEEK_CHUNK = 65536
 
 _CODEC_CACHE: dict[int, pa.Codec] = {}
 

@@ -53,6 +53,12 @@ class EncoderConfig:
     # stateful selector re-evaluates a cached per-(source,stream) choice
     # every N chunks (stripe-granular stability like ORC's writer)
     selector_recheck_every: int = 8
+    # prefer a vectorized codec (for/planar/bytes) over rle2 when its
+    # measured size is within this fraction of rle2's: rle2's per-scope
+    # loop is ~50x slower, and the streams where rle2 wins narrowly
+    # (LENGTH/n_tok) are <0.5% of stripe bytes. 0 restores pure
+    # smallest-size selection.
+    rle2_speed_tolerance: float = 0.15
     fsst_iterations: int = 5
     # columns that get a per-stripe BLOOM_FILTER stream (the orc.proto
     # stream kind the reference never implements): point lookups read only
@@ -77,6 +83,7 @@ class EncoderConfig:
             "row_index_stride": self.row_index_stride,
             "selector_sample_values": self.selector_sample_values,
             "selector_recheck_every": self.selector_recheck_every,
+            "rle2_speed_tolerance": self.rle2_speed_tolerance,
             "fsst_iterations": self.fsst_iterations,
             "bloom_columns": list(self.bloom_columns),
             "user_metadata": dict(self.user_metadata),

@@ -149,8 +149,10 @@ class PartitionEncoder:
         all_rows: list[dict] = []
         for spec in specs.to_pylist():
             pid = int(spec["pid"])
-            mpath = mf.manifest_path(self.out_dir, pid)
-            if os.path.exists(mpath):  # retried task: already committed
+            tag = mf.lineage_tag(spec["file"], spec["row_start"],
+                                 spec["row_count"])
+            mpath = mf.find_manifest(self.out_dir, pid, tag)
+            if mpath is not None:  # retried task: already committed
                 import pyarrow.parquet as pq
                 all_rows.extend(pq.read_table(mpath).to_pylist())
                 continue
@@ -160,7 +162,7 @@ class PartitionEncoder:
                 {"file": spec["file"], "row_start": spec["row_start"],
                  "row_count": spec["row_count"]},
             )
-            mf.commit_partition(self.out_dir, pid, rows)
+            mf.commit_partition(self.out_dir, pid, rows, tag=tag)
             all_rows.extend(rows)
         if not all_rows:
             return mf.MANIFEST_SCHEMA.empty_table()
@@ -203,14 +205,29 @@ def encode_job(
         # sorting last) keep old pids valid; removals/renames/reorders
         # make them stale and MUST fail loudly — silently skipping a pid
         # whose content changed would drop data
-        lineage = mf.completed_lineage(out_dir)
+        # listdir-only validation: each committed manifest's filename
+        # carries a crc32 of its lineage triple; legacy untagged files
+        # fall back to reading their lineage columns (one open per legacy
+        # file only)
+        tags = mf.completed_tags(out_dir)
+        legacy_lineage: dict[int, tuple] | None = None
         by_pid = {s.pid: s for s in specs}
         stale = []
         valid = set()
         for pid in sorted(done):
             s = by_pid.get(pid)
-            if s is not None and lineage.get(pid) == (s.file, s.row_start,
-                                                      s.row_count):
+            if s is None:
+                stale.append(pid)
+                continue
+            tag = tags.get(pid)
+            if tag is not None:
+                ok = tag == mf.lineage_tag(s.file, s.row_start, s.row_count)
+            else:
+                if legacy_lineage is None:
+                    legacy_lineage = mf.completed_lineage(out_dir)
+                ok = legacy_lineage.get(pid) == (s.file, s.row_start,
+                                                 s.row_count)
+            if ok:
                 valid.add(pid)
             else:
                 stale.append(pid)
@@ -251,7 +268,19 @@ def encode_job(
             num_cpus=1,
             **remote_args(),
         )
-        man.materialize()  # manifest rows only: metadata-sized
+        mm = man.materialize()  # manifest rows only: metadata-sized
+        if not result["skipped"]:
+            # every manifest row is already in hand: summarize directly
+            # instead of re-opening every per-partition manifest file (a
+            # per-partition driver cost that grows with corpus size)
+            import pyarrow as _pa
+
+            t = _pa.concat_tables(ray.get(mm.to_arrow_refs()))
+            result.update(mf.summarize_rows(t))
+            um = mf.read_user_metadata(out_dir)
+            if um:
+                result["user_metadata"] = um
+            return result
     result.update(mf.manifest_summary(out_dir, codec_histogram=False))
     return result
 

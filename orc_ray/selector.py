@@ -146,6 +146,7 @@ def choose_int_codec(
     # will use
     outer = config.outer_compression
     best, best_size = None, None
+    sizes: dict[str, int] = {}
     for c in candidates:
         try:
             enc = encode_int_stream(s, c, signed)
@@ -159,6 +160,20 @@ def choose_int_codec(
             continue
         if best_size is None or size < best_size:
             best, best_size = c, size
+        sizes[c] = size
+    if best in ("rle2", "rle2_delta") and config.rle2_speed_tolerance > 0:
+        # speed-biased tie-break: rle2's scope loop runs ~50x slower than
+        # the vectorized codecs (for/planar/bytes), so when one of those is
+        # within the tolerance of rle2's measured size, take it. In
+        # practice this only flips small side streams (LENGTH, n_tok —
+        # <0.5% of stripe bytes each) where rle2's edge is a rounding
+        # error on the file but ~1/3 of encode CPU.
+        vec = [(sz, c) for c, sz in sizes.items()
+               if c not in ("rle2", "rle2_delta")]
+        if vec:
+            vsz, vc = min(vec)
+            if vsz <= best_size * (1.0 + config.rle2_speed_tolerance):
+                return vc
     return best or candidates[0]
 
 
@@ -238,6 +253,22 @@ class SelectorState:
         choice = choose_int_codec(values, signed, self.config, candidates)
         self._choice[key] = choice
         return choice
+
+    def blob_codec(self, group: str, column: str) -> str | None:
+        """Cached string-blob codec for (group, column), or None when a
+        full-trial re-measure is due. Without this cache every stripe pays
+        a full FSST trial encode (~45 MB/s pure-python) even on columns
+        where zstd always wins — measured at ~1/3 of total encode time on
+        the bench corpus."""
+        key = (group, f"blob:{column}")
+        cnt = self._count.get(key, 0)
+        self._count[key] = cnt + 1
+        if key in self._choice and cnt % self.config.selector_recheck_every != 0:
+            return self._choice[key]
+        return None
+
+    def record_blob_choice(self, group: str, column: str, codec: str) -> None:
+        self._choice[(group, f"blob:{column}")] = codec
 
     def fsst_table(self, group: str, column: str, train_fn):
         """Reuse a trained FSST symbol table across chunks of the same

@@ -48,13 +48,22 @@ def _scan_file(
     f = pq.ParquetFile(path)
     has_col = token_col in f.schema_arrow.names
     out = []
-    for rg in range(f.metadata.num_row_groups):
-        if has_col:
-            col = f.read_row_group(rg, columns=[token_col]).column(0)
-            vals = col.to_numpy(zero_copy_only=False).astype(np.int64)
-        else:
+    if has_col:
+        # one whole-file single-column read, sliced at row-group boundaries
+        # — per-row-group reads pay a ~3ms fixed cost each, which dominated
+        # planning time on many-row-group shards
+        all_vals = f.read(columns=[token_col]).column(0).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        pos = 0
+        for rg in range(f.metadata.num_row_groups):
+            nrows = f.metadata.row_group(rg).num_rows
+            vals = all_vals[pos: pos + nrows]
+            pos += nrows
+            out.append((nrows, int(vals.sum()), vals))
+    else:
+        for rg in range(f.metadata.num_row_groups):
             vals = np.ones(f.metadata.row_group(rg).num_rows, dtype=np.int64)
-        out.append((len(vals), int(vals.sum()), vals))
+            out.append((len(vals), int(vals.sum()), vals))
     return path, out, f.metadata.num_rows, has_col
 
 

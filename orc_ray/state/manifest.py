@@ -59,8 +59,32 @@ def blob_name(pid: int, stripe: int) -> str:
     return f"part-{pid:06d}-{stripe:03d}.strp"
 
 
-def manifest_path(out_dir: str, pid: int) -> str:
-    return os.path.join(manifest_dir(out_dir), f"part-{pid:06d}.parquet")
+def lineage_tag(file: str, row_start: int, row_count: int) -> str:
+    """8-hex crc32 of a partition's input lineage. Embedded in the manifest
+    FILENAME so resume validation is a pure listdir — at millions of
+    partitions the alternative (opening every manifest to read its lineage
+    columns) costs minutes of driver time."""
+    import zlib
+
+    key = f"{file}|{int(row_start)}|{int(row_count)}".encode()
+    return f"{zlib.crc32(key) & 0xFFFFFFFF:08x}"
+
+
+def manifest_path(out_dir: str, pid: int, tag: str | None = None) -> str:
+    name = (f"part-{pid:06d}-{tag}.parquet" if tag
+            else f"part-{pid:06d}.parquet")
+    return os.path.join(manifest_dir(out_dir), name)
+
+
+def find_manifest(out_dir: str, pid: int, tag: str | None = None) -> str | None:
+    """Existing manifest path for pid: the tagged name, or the legacy
+    untagged name (pre-tag dirs stay resumable)."""
+    if tag:
+        p = manifest_path(out_dir, pid, tag)
+        if os.path.exists(p):
+            return p
+    p = manifest_path(out_dir, pid)
+    return p if os.path.exists(p) else None
 
 
 def write_blob_atomic(out_dir: str, pid: int, stripe: int, blob: bytes) -> str:
@@ -73,10 +97,11 @@ def write_blob_atomic(out_dir: str, pid: int, stripe: int, blob: bytes) -> str:
     return rel
 
 
-def commit_partition(out_dir: str, pid: int, rows: list[dict]) -> pa.Table:
+def commit_partition(out_dir: str, pid: int, rows: list[dict],
+                     tag: str | None = None) -> pa.Table:
     """Write the partition's manifest atomically (the commit point)."""
     table = pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
-    path = manifest_path(out_dir, pid)
+    path = manifest_path(out_dir, pid, tag)
     tmp = path + ".tmp"
     pq.write_table(table, tmp)
     os.replace(tmp, path)
@@ -118,6 +143,23 @@ def completed_partitions(out_dir: str) -> set[int]:
     return out
 
 
+def completed_tags(out_dir: str) -> dict[int, str | None]:
+    """pid -> lineage tag parsed from the manifest FILENAME (None for
+    legacy untagged names). A listdir-only resume validation primitive:
+    no manifest file is opened."""
+    mdir = manifest_dir(out_dir)
+    if not os.path.isdir(mdir):
+        return {}
+    out: dict[int, str | None] = {}
+    for name in os.listdir(mdir):
+        if not (name.startswith("part-") and name.endswith(".parquet")):
+            continue
+        stem = name[5:-8]  # strip 'part-' and '.parquet'
+        pid_s, _, tag = stem.partition("-")
+        out[int(pid_s)] = tag or None
+    return out
+
+
 def completed_lineage(out_dir: str) -> dict[int, tuple]:
     """pid -> (input_file, row_start, row_count) from each committed
     manifest (first row; every stripe of a partition shares its lineage).
@@ -126,45 +168,72 @@ def completed_lineage(out_dir: str) -> dict[int, tuple]:
     mdir = manifest_dir(out_dir)
     if not os.path.isdir(mdir):
         return {}
-    out: dict[int, tuple] = {}
-    for name in sorted(os.listdir(mdir)):
-        if not (name.startswith("part-") and name.endswith(".parquet")):
-            continue
+    names = sorted(n for n in os.listdir(mdir)
+                   if n.startswith("part-") and n.endswith(".parquet"))
+
+    def _one(name: str):
         t = pq.read_table(os.path.join(mdir, name),
                           columns=["input_file", "row_start", "row_count"])
-        if t.num_rows:
-            out[int(name[5:11])] = (t.column("input_file")[0].as_py(),
-                                    t.column("row_start")[0].as_py(),
-                                    t.column("row_count")[0].as_py())
-    return out
+        if not t.num_rows:
+            return None
+        return (int(name[5:11]), (t.column("input_file")[0].as_py(),
+                                  t.column("row_start")[0].as_py(),
+                                  t.column("row_count")[0].as_py()))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, max(1, len(names)))) as ex:
+        pairs = [p for p in ex.map(_one, names) if p is not None]
+    return dict(pairs)
 
 
-def read_manifest(out_dir: str) -> pa.Table:
+def read_manifest(out_dir: str, columns: list[str] | None = None) -> pa.Table:
     mdir = manifest_dir(out_dir)
     files = sorted(
         os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet")
     )
     if not files:
-        return MANIFEST_SCHEMA.empty_table()
+        t = MANIFEST_SCHEMA.empty_table()
+        return t.select(columns) if columns else t
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=min(16, len(files))) as ex:
-        tables = list(ex.map(pq.read_table, files))
+        tables = list(ex.map(lambda f: pq.read_table(f, columns=columns),
+                             files))
     return pa.concat_tables(tables)
 
 
 def manifest_summary(out_dir: str, codec_histogram: bool = True) -> dict:
     """File-level statistics merge (the analogue of the footer's file stats,
     writer.go:458-479): totals + per-codec stream histogram."""
-    t = read_manifest(out_dir)
+    cols = None if codec_histogram else [
+        "partition_id", "num_rows", "num_tokens", "raw_bytes",
+        "encoded_bytes"]  # skip meta_json (the bulk of manifest bytes)
+    t = read_manifest(out_dir, columns=cols)
+    summary = summarize_rows(t, codec_histogram=codec_histogram)
+    um = read_user_metadata(out_dir)
+    if um:
+        summary["user_metadata"] = um
+    return summary
+
+
+def summarize_rows(t: pa.Table, codec_histogram: bool = False) -> dict:
+    """Summary statistics from manifest rows already in hand (e.g. the
+    rows an encode job just collected) — no disk re-read."""
     rows = t.num_rows
+    import pyarrow.compute as _pc
+
+    def _s(c):
+        return int(_pc.sum(t.column(c)).as_py() or 0) if rows else 0
+
     summary = {
-        "partitions": len(set(t.column("partition_id").to_pylist())) if rows else 0,
+        "partitions": (len(_pc.unique(t.column("partition_id")))
+                       if rows else 0),
         "stripes": rows,
-        "num_rows": sum(t.column("num_rows").to_pylist()),
-        "num_tokens": sum(t.column("num_tokens").to_pylist()),
-        "raw_bytes": sum(t.column("raw_bytes").to_pylist()),
-        "encoded_bytes": sum(t.column("encoded_bytes").to_pylist()),
+        "num_rows": _s("num_rows"),
+        "num_tokens": _s("num_tokens"),
+        "raw_bytes": _s("raw_bytes"),
+        "encoded_bytes": _s("encoded_bytes"),
     }
     if codec_histogram:
         codec_hist: dict[str, int] = {}
@@ -176,9 +245,6 @@ def manifest_summary(out_dir: str, codec_histogram: bool = True) -> dict:
         summary["stream_bytes_by_codec"] = codec_hist
     if summary["num_tokens"]:
         summary["bytes_per_token"] = summary["encoded_bytes"] / summary["num_tokens"]
-    um = read_user_metadata(out_dir)
-    if um:
-        summary["user_metadata"] = um
     return summary
 
 

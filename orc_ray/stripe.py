@@ -157,12 +157,16 @@ class _BlobWriter:
         if raw_len > 0 and attempt and self.outer in ("zstd", "auto"):
             # ORC's ZSTD compression kind: ~11x the throughput of flate-6
             # at <2% size on the token corpus (see codecs/zstdchunk.py)
-            z = zstdchunk.compress(data, level=self.zstd_level)
+            chunk = (zstdchunk.SEEK_CHUNK
+                     if seekable or "byte_index" in extra
+                     else zstdchunk.DEFAULT_CHUNK)
+            z = zstdchunk.compress(data, chunk_size=chunk,
+                                   level=self.zstd_level)
             if self.outer == "zstd" or len(z) < raw_len:
                 data, outer = z, "zstd"
                 if seekable or "byte_index" in extra:
                     rec["chunk_offsets"] = zlibchunk.chunk_offsets(data)
-                    rec["chunk_size"] = zstdchunk.DEFAULT_CHUNK
+                    rec["chunk_size"] = chunk
         elif raw_len > 0 and attempt and self.outer == "zlib":
             # reference semantics: always flate (the per-chunk original
             # fallback inside the framing handles incompressible chunks)
@@ -204,13 +208,16 @@ class _BlobWriter:
             seekable = True
         data, outer = None, "none"
         if self.outer in ("zstd", "auto"):
+            chunk = (zstdchunk.SEEK_CHUNK if seekable
+                     else zstdchunk.DEFAULT_CHUNK)
             z = zstdchunk.compress_parts(
-                [header, planes.reshape(-1)], level=self.zstd_level)
+                [header, planes.reshape(-1)], chunk_size=chunk,
+                level=self.zstd_level)
             if self.outer == "zstd" or len(z) < raw_len:
                 data, outer = z, "zstd"
                 if seekable:
                     rec["chunk_offsets"] = zlibchunk.chunk_offsets(data)
-                    rec["chunk_size"] = zstdchunk.DEFAULT_CHUNK
+                    rec["chunk_size"] = chunk
         if data is None:  # forced zlib/snappy/none or incompressible: join
             self.add(column, kind, "planar",
                      header + planes.tobytes(), **extra)
@@ -229,7 +236,9 @@ def _decompress_outer(data: bytes, rec: dict, outer: str) -> bytes:
     if stream_outer == "zlib":
         return zlibchunk.decompress(data)
     if stream_outer == "zstd":
-        return zstdchunk.decompress(data, rec["raw_length"])
+        return zstdchunk.decompress(
+            data, rec["raw_length"],
+            rec.get("chunk_size", zstdchunk.DEFAULT_CHUNK))
     if stream_outer == "snappy":
         # decode-only compatibility codec (compressioncodec.go:222-284;
         # the reference cannot write snappy either, writer.go:70-87)
@@ -278,6 +287,15 @@ def _encode_blob(
     arr = np.frombuffer(blob, dtype=np.uint8)
     offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
     np.cumsum(lengths, out=offsets[1:])
+    full_trial = True
+    if selector is not None:
+        cached = selector.blob_codec(group, column)
+        if cached is not None:
+            # encode only the cached winner; the free raw-size compare
+            # below still falls back to "none" if this chunk degenerates,
+            # and the recheck cadence re-runs the full trial periodically
+            candidates = (cached,)
+            full_trial = False
     best = ("none", blob, lengths, len(blob))
     for cand in candidates:
         if cand == "none":
@@ -302,6 +320,8 @@ def _encode_blob(
                                                      config.fsst_iterations)
             if len(comp) < best[3]:
                 best = ("fsst", comp, comp_lens, len(comp))
+    if selector is not None and full_trial:
+        selector.record_blob_choice(group, column, best[0])
     return best[0], best[1], best[2]
 
 
@@ -424,7 +444,7 @@ def _encode_column(
         _add_int_stream(w, name, "DATA", codec, secs_rel, True,
                         index_values=secs_rel)
         n_codec = _select_int(selector, group, f"{name}:SECONDARY", fmt_nanos,
-                              False, config, ("rle2", "for"))
+                              False, config, ("rle2", "for", "planar"))
         w.add(name, "SECONDARY", n_codec,
               encode_int_stream(fmt_nanos, n_codec, False), signed=False)
         meta["encoding"] = "timestamp"
@@ -515,7 +535,7 @@ def _encode_column(
         lo_codec = _select_int(selector, group, f"{name}:DATA", lo, True, config)
         _add_int_stream(w, name, "DATA", lo_codec, lo, True)
         hi_codec = _select_int(selector, group, f"{name}:SECONDARY", hi, True,
-                               config, ("rle2", "for"))
+                               config, ("rle2", "for", "planar"))
         w.add(name, "SECONDARY", hi_codec, encode_int_stream(hi, hi_codec, True),
               signed=True)
         meta["encoding"] = "decimal"
@@ -569,7 +589,7 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
     if use_dict:
         indexes, dict_blob, dict_lengths = dictionary_encode(arr)
         idx_codec = _select_int(selector, group, f"{name}:DICTIDX", indexes, False,
-                                config, ("rle2", "for"))
+                                config, ("rle2", "for", "planar"))
         w.add(name, "DATA", idx_codec, encode_int_stream(indexes, idx_codec, False),
               signed=False)
         blob_codec, payload, lens = _encode_blob(dict_blob, dict_lengths, config,
@@ -605,7 +625,7 @@ def _encode_string_column(name, arr, valid, w, config, selector, group, meta) ->
                 extra["fsst_header_len"] = hlen
         w.add(name, "DATA", blob_codec, payload, **extra)
         len_codec = _select_int(selector, group, f"{name}:LENGTH", lens, False,
-                                config, ("rle2", "for"))
+                                config, ("rle2", "for", "planar"))
         w.add(name, "LENGTH", len_codec, encode_int_stream(lens, len_codec, False),
               signed=False)
         meta["encoding"] = "binary" if is_binary else "direct"
@@ -639,7 +659,7 @@ def _encode_list_column(name, arr, valid, w, config, selector, group, meta) -> d
     child = arr.values.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
     lengths = np.diff(offsets)
     len_codec = _select_int(selector, group, f"{name}:LENGTH", lengths, False,
-                            config, ("rle2", "for"))
+                            config, ("rle2", "for", "planar"))
     w.add(name, "LENGTH", len_codec, encode_int_stream(lengths, len_codec, False),
           signed=False)
     meta["encoding"] = "list"
@@ -683,7 +703,7 @@ def _encode_map_column(name, arr, valid, w, config, selector, group, meta) -> di
     keys = arr.keys.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
     items = arr.items.slice(int(offsets[0]), int(offsets[-1] - offsets[0]))
     len_codec = _select_int(selector, group, f"{name}:LENGTH", lengths, False,
-                            config, ("rle2", "for"))
+                            config, ("rle2", "for", "planar"))
     w.add(name, "LENGTH", len_codec, encode_int_stream(lengths, len_codec, False),
           signed=False)
     meta["encoding"] = "map"
@@ -999,7 +1019,9 @@ def _raw_range(reader: RangeReader, rec: dict, raw_lo: int, raw_hi: int) -> byte
         data = reader.read(rec["offset"], rec["length"])
         if outer == "zlib":
             return zlibchunk.decompress(data)[raw_lo:raw_hi]
-        return zstdchunk.decompress(data, rec["raw_length"])[raw_lo:raw_hi]
+        return zstdchunk.decompress(
+            data, rec["raw_length"],
+            rec.get("chunk_size", zstdchunk.DEFAULT_CHUNK))[raw_lo:raw_hi]
     csize = rec["chunk_size"]
     c0 = raw_lo // csize
     c1 = min((raw_hi + csize - 1) // csize, len(offs))

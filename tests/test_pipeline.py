@@ -110,8 +110,11 @@ def test_resume_skips_completed(ray_session, token_shards, tmp_path):
     # simulate partial failure: drop 3 partitions' manifests + blobs
     done = sorted(mf.completed_partitions(out))
     victims = done[:3]
+    mdir = mf.manifest_dir(out)
     for pid in victims:
-        os.remove(mf.manifest_path(out, pid))
+        for n in os.listdir(mdir):  # manifest names carry a lineage tag
+            if n.startswith(f"part-{pid:06d}") and n.endswith(".parquet"):
+                os.remove(os.path.join(mdir, n))
         for f in os.listdir(mf.blobs_dir(out)):
             if f.startswith(f"part-{pid:06d}-"):
                 os.remove(os.path.join(mf.blobs_dir(out), f))
