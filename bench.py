@@ -137,7 +137,10 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
                     if f.endswith(".parquet"))
     wout = f"{BENCH_BASE}/{name}/warm_out-{num_cpus}"
     shutil.rmtree(wout, ignore_errors=True)
-    encode_job(wpaths, wout, EncoderConfig(stripe_target_tokens=2_000_000))
+    # small stripe target -> enough partitions that the warm job's actor
+    # pool spans every CPU (a 2-partition warm job leaves 30 worker
+    # processes cold and their import cost lands in the timed run)
+    encode_job(wpaths, wout, EncoderConfig(stripe_target_tokens=25_000))
     shutil.rmtree(wout, ignore_errors=True)
 
     if "encode" in phases:

@@ -27,10 +27,6 @@ _PINV = _U64(pow(int(_P), -1, 1 << 64))  # P is odd => invertible mod 2^64
 # one parallelizable multiply pass instead of a serial length-m cumprod —
 # the checksum was the dominant cost of the fused decode+verify task.
 _B = 4096
-_SMALL = np.empty(_B, dtype=_U64)
-_SMALL[0] = 1
-np.cumprod(np.full(_B - 1, _P, dtype=_U64), out=_SMALL[1:])
-_PB = _U64((int(_SMALL[-1]) * int(_P)) & 0xFFFFFFFFFFFFFFFF)
 
 
 def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
@@ -48,15 +44,37 @@ def _pow_mod64(base: np.uint64, exp: np.ndarray) -> np.ndarray:
     return result
 
 
-def _pow_table(m: int) -> np.ndarray:
-    """[P^0, P^1, ..., P^(m-1)] mod 2^64 via the blocked construction."""
-    nb = (m + _B - 1) // _B
-    blockpows = np.empty(nb, dtype=_U64)
-    blockpows[0] = 1
-    if nb > 1:
-        np.cumprod(np.full(nb - 1, _PB, dtype=_U64), out=blockpows[1:])
-    tab = np.multiply(blockpows[:, None], _SMALL[None, :])
-    return tab.reshape(-1)[:m]
+def _make_pow_cache(base: int):
+    small = np.empty(_B, dtype=_U64)
+    small[0] = 1
+    np.cumprod(np.full(_B - 1, base, dtype=_U64), out=small[1:])
+    pb = (int(small[-1]) * base) & 0xFFFFFFFFFFFFFFFF
+    cache = np.empty(0, dtype=_U64)
+
+    def table(m: int) -> np.ndarray:
+        """[base^0 .. base^(m-1)] mod 2^64, blocked construction, cached
+        per process (read-only view of the largest table built so far):
+        rebuilding it per stripe was ~25% of fused decode+verify. Built
+        with 2x headroom — stripe value counts vary a few percent around
+        the token budget, and growing by max-so-far would rebuild ~half
+        the time early on."""
+        nonlocal cache
+        if len(cache) < m:
+            nb = (2 * m + _B - 1) // _B
+            blockpows = np.empty(nb, dtype=_U64)
+            blockpows[0] = 1
+            if nb > 1:
+                np.cumprod(np.full(nb - 1, pb, dtype=_U64),
+                           out=blockpows[1:])
+            cache = np.multiply(blockpows[:, None],
+                                small[None, :]).reshape(-1)
+        return cache[:m]
+
+    return table
+
+
+_pow_table = _make_pow_cache(int(_P))
+_pow_table_inv = _make_pow_cache(int(_PINV))
 
 
 def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -77,7 +95,9 @@ def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     nz = lengths > 0
     starts = offsets[:-1][nz]
     seg_sums = np.add.reduceat(terms, starts)
-    out[nz] = seg_sums * _pow_mod64(_PINV, starts.astype(np.int64))
+    # P^(-start) via a gather from the cached inverse-power table (a
+    # vectorized binpow per call was ~14% of fused decode+verify)
+    out[nz] = seg_sums * _pow_table_inv(len(values))[starts]
     return out
 
 
