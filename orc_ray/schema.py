@@ -55,46 +55,56 @@ class _Parser:
         return m.group()
 
     def parse_type(self) -> pa.DataType:
+        t, _ = self.parse_type_meta()
+        return t
+
+    def parse_type_meta(self) -> tuple[pa.DataType, dict | None]:
+        """(type, field-metadata): char(n)/varchar(n) map to arrow string
+        plus an ``orc:type`` field annotation that the writer enforces
+        (treewriter.go:543 keeps them as distinct categories; arrow has no
+        bounded-string type, so the bound lives in metadata and the
+        truncate/pad happens at encode)."""
         word = self.name()
         if word in _PRIMITIVES:
-            return _PRIMITIVES[word]
+            return _PRIMITIVES[word], None
         if word in ("char", "varchar"):
             self.expect("(")
-            self.name()  # length is advisory; arrow strings are unbounded
+            n = int(self.name())
             self.expect(")")
-            return pa.string()
+            return pa.string(), {b"orc:type": f"{word}({n})".encode()}
         if word == "decimal":
             self.expect("(")
             p = int(self.name())
             self.expect(",")
             s = int(self.name())
             self.expect(")")
-            return pa.decimal128(p, s)
+            return pa.decimal128(p, s), None
         if word == "array":
             self.expect("<")
             child = self.parse_type()
             self.expect(">")
-            return pa.list_(child)
+            return pa.list_(child), None
         if word == "map":
             self.expect("<")
             key = self.parse_type()
             self.expect(",")
             val = self.parse_type()
             self.expect(">")
-            return pa.map_(key, val)
+            return pa.map_(key, val), None
         if word == "struct":
             self.expect("<")
             fields = []
             while True:
                 fname = self.name()
                 self.expect(":")
-                fields.append(pa.field(fname, self.parse_type()))
+                ft, fmeta = self.parse_type_meta()
+                fields.append(pa.field(fname, ft, metadata=fmeta))
                 if self.peek() == ",":
                     self.pos += 1
                     continue
                 break
             self.expect(">")
-            return pa.struct(fields)
+            return pa.struct(fields), None
         if word == "uniontype":
             self.expect("<")
             children = []
@@ -107,7 +117,7 @@ class _Parser:
                     continue
                 break
             self.expect(">")
-            return pa.dense_union(children)
+            return pa.dense_union(children), None
         self.error(f"unknown type {word!r}")
 
 
@@ -140,7 +150,7 @@ def _type_ddl(t: pa.DataType) -> str:
     if pa.types.is_map(t):
         return f"map<{_type_ddl(t.key_type)},{_type_ddl(t.item_type)}>"
     if pa.types.is_struct(t):
-        inner = ",".join(f"{f.name}:{_type_ddl(f.type)}" for f in t)
+        inner = ",".join(f"{f.name}:{_field_ddl(f)}" for f in t)
         return f"struct<{inner}>"
     if pa.types.is_union(t):
         inner = ",".join(_type_ddl(f.type) for f in t)
@@ -148,6 +158,41 @@ def _type_ddl(t: pa.DataType) -> str:
     raise ValueError(f"no DDL mapping for {t}")
 
 
+def _field_ddl(f: pa.Field) -> str:
+    spec = bounded_string_spec(f)
+    if spec is not None:
+        return f"{spec[0]}({spec[1]})"
+    return _type_ddl(f.type)
+
+
 def schema_ddl(schema: pa.Schema) -> str:
-    inner = ",".join(f"{f.name}:{_type_ddl(f.type)}" for f in schema)
+    inner = ",".join(f"{f.name}:{_field_ddl(f)}" for f in schema)
     return f"struct<{inner}>"
+
+
+_BOUNDED_RE = re.compile(r"^(char|varchar)\((\d+)\)$")
+
+
+def bounded_string_spec(f: pa.Field) -> tuple[str, int] | None:
+    """(kind, n) if the field carries a char(n)/varchar(n) annotation."""
+    meta = f.metadata
+    if not meta or b"orc:type" not in meta:
+        return None
+    m = _BOUNDED_RE.match(meta[b"orc:type"].decode())
+    if not m:
+        return None
+    return m.group(1), int(m.group(2))
+
+
+def enforce_bounded(arr: pa.Array, kind: str, n: int) -> pa.Array:
+    """Apply the reference writer's char/varchar length semantics to a
+    string array (treewriter.go:543 routes char/varchar to the string
+    writer after Hive-style length enforcement): varchar(n) truncates to n
+    codepoints; char(n) truncates then right-pads with spaces to exactly n
+    codepoints. Vectorized pyarrow.compute kernels, codepoint semantics."""
+    import pyarrow.compute as pc
+
+    out = pc.utf8_slice_codeunits(arr, 0, n)
+    if kind == "char":
+        out = pc.utf8_rpad(out, n, " ")
+    return out

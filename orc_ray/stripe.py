@@ -32,6 +32,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from . import schema as _schema_mod
 from .codecs import byterle, fsst, rle2, zlibchunk, zstdchunk
 from .codecs.dictionary import dictionary_encode, string_blob, strings_from_blob
 from .config import EncoderConfig
@@ -355,11 +356,19 @@ def encode_table(
                     getattr(config, "row_index_stride", 0),
                     getattr(config, "zstd_level", 1))
     columns_meta = []
-    for name in table.column_names:
+    for i, name in enumerate(table.column_names):
         arr = table.column(name)
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks() if arr.num_chunks != 1 else arr.chunk(0)
+        # char(n)/varchar(n) length semantics (treewriter.go:543): the DDL
+        # parser leaves the bound as an orc:type field annotation; enforce
+        # truncate/pad here so the stored bytes already satisfy the type.
+        bounded = _schema_mod.bounded_string_spec(table.schema.field(i))
+        if bounded is not None:
+            arr = _schema_mod.enforce_bounded(arr, *bounded)
         col_meta = _encode_column(name, arr, w, config, selector, group)
+        if bounded is not None:
+            col_meta["orc_type"] = f"{bounded[0]}({bounded[1]})"
         columns_meta.append(col_meta)
     meta = {
         "format": FORMAT_VERSION,

@@ -136,3 +136,42 @@ def test_parse_errors():
         parse_schema("int")  # root must be struct
     with pytest.raises(ValueError):
         parse_schema("struct<a:wibble>")
+
+
+# --- char/varchar length semantics (treewriter.go:543) ----------------------
+
+def test_char_varchar_ddl_roundtrip():
+    ddl = "struct<a:char(5),b:varchar(3),c:string,n:struct<x:char(2)>>"
+    s = parse_schema(ddl)
+    assert s.field("a").type == pa.string()
+    assert s.field("a").metadata[b"orc:type"] == b"char(5)"
+    assert s.field("n").type.field("x").metadata[b"orc:type"] == b"char(2)"
+    assert schema_ddl(s) == ddl
+
+
+def test_char_varchar_write_enforcement():
+    """varchar(n) truncates, char(n) truncates+space-pads, both by
+    codepoint (Hive semantics); the annotation survives the round trip."""
+    from orc_ray.stripe import encode_table, decode_blob
+
+    s = parse_schema("struct<a:char(5),b:varchar(3)>")
+    t = pa.table({"a": pa.array(["hi", "héllo world", None, ""]),
+                  "b": pa.array(["abcdef", "x", None, "ábcd"])}, schema=s)
+    blob, meta = encode_table(t)
+    out = decode_blob(blob, meta)
+    assert out.column("a").to_pylist() == ["hi   ", "héllo", None, "     "]
+    assert out.column("b").to_pylist() == ["abc", "x", None, "ábc"]
+    assert out.schema.field("a").metadata[b"orc:type"] == b"char(5)"
+    assert meta["columns"][0]["orc_type"] == "char(5)"
+    assert meta["columns"][1]["orc_type"] == "varchar(3)"
+
+
+def test_enforce_bounded_kernels():
+    from orc_ray.schema import bounded_string_spec, enforce_bounded
+
+    f = pa.field("x", pa.string(), metadata={b"orc:type": b"varchar(4)"})
+    assert bounded_string_spec(f) == ("varchar", 4)
+    assert bounded_string_spec(pa.field("y", pa.string())) is None
+    arr = pa.array(["abcdefg", "ab", None])
+    assert enforce_bounded(arr, "varchar", 4).to_pylist() == ["abcd", "ab", None]
+    assert enforce_bounded(arr, "char", 4).to_pylist() == ["abcd", "ab  ", None]
