@@ -648,7 +648,14 @@ def q_dedup_keep(sf_dir: str):
     minhash >=0.8 pair set (already bit-exact vs the SQL shingle-Jaccard
     oracle), assigning every doc the min doc_id of its connected component.
     Docs with no near-dup point at themselves; survivors are the rows with
-    doc_id == rep_doc_id."""
+    doc_id == rep_doc_id.
+
+    Oracle note: equality with the exact recursive-CTE closure assumes the
+    LSH banding recalls every Jaccard>=0.8 pair. That holds on the driver
+    corpus (verified pairs are themselves oracle-checked bit-exact), but
+    LSH recall is probabilistic in general — if the corpus or hash seed
+    changes and a true pair slips a band, the closure diverges from the
+    CTE even though both sides are internally correct."""
     pairs = dedup.minhash_dedup_pairs(
         _docs_ds(sf_dir, ["doc_id", "text"]), threshold=0.8)
     return dedup.dedup_cluster_reps(_docs_ds(sf_dir, ["doc_id"]), pairs)
@@ -768,15 +775,63 @@ def q_media_decode(sf_dir: str):
 
 # --- windowed aggregate ----------------------------------------------------
 
-def q_window_agg(sf_dir: str):
-    """Tumbling 1-hour window aggregate over the events stream: the
-    scalable pattern is partial aggregation per batch (combiner) then a tiny
-    final merge — no raw-event shuffle. Sums are over per-row-rounded
-    integer values so the mirror is bit-exact."""
-    import ray.data
+# raw-input size above which the final partial merge switches from a
+# single tree-reduce task to a hash-partitioned per-key merge (the
+# (user x window) result of a 100-TB event stream does not fit one task)
+_TWO_LEVEL_MERGE_BYTES = 256 << 20
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts", "value"])
+
+def _input_bytes(path: str) -> int:
+    if os.path.isdir(path):
+        return sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(path) for f in fs)
+    return os.path.getsize(path)
+
+
+def _merge_partials(parts, merge_fn, part_col: str,
+                    num_parts: int | None = None,
+                    input_bytes: int | None = None):
+    """Final merge of already-combined partial-aggregate rows.
+
+    Level selection: with ``num_parts`` 1 (or raw input below
+    _TWO_LEVEL_MERGE_BYTES when auto), the partials — metadata-sized
+    after the in-batch combiner — tree-reduce inside ONE worker task
+    (`repartition(1)`), which beats a hash aggregate whose per-op actor
+    spin-up costs seconds at bench scale. Above the threshold the merge
+    hash-partitions the partials on ``part_col`` (deterministic
+    multiplicative hash — a key lands in exactly one partition) and
+    merges each partition independently, so no single task ever holds
+    the full (group x window) result and the output stays partitioned.
+    """
+    if num_parts is None:
+        if input_bytes is not None and input_bytes > _TWO_LEVEL_MERGE_BYTES:
+            import ray
+            num_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        else:
+            num_parts = 1
+    if num_parts <= 1:
+        return parts.repartition(1).map_batches(merge_fn, batch_format="pyarrow")
+
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def add_part(b: pa.Table) -> pa.Table:
+        key = b.column(part_col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.uint64)
+        part = ((key * mult) >> np.uint64(33)) % np.uint64(num_parts)
+        return b.append_column("part", pa.array(part.astype(np.int64)))
+
+    def merge_group(g: pa.Table) -> pa.Table:
+        return merge_fn(g.drop_columns(["part"]))
+
+    return parts.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(merge_group, batch_format="pyarrow")
+
+
+def tumbling_window_agg(ds, num_parts: int | None = None,
+                        input_bytes: int | None = None):
+    """Tumbling 1-hour window aggregate over an events dataset: partial
+    aggregation per batch (combiner), then a threshold-selected one- or
+    two-level merge of the partials — raw events never shuffle."""
 
     def partial(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -796,11 +851,6 @@ def q_window_agg(sf_dir: str):
             [("v1000", "count"), ("v1000", "sum")]
         )
 
-    # final merge is a tree reduce inside a worker task (repartition(1) of
-    # the already-combined partials — metadata-sized), not a driver
-    # take_all and not a hash-shuffle aggregate (whose per-op actor
-    # spin-up costs ~3s at this scale); at extreme group cardinality an
-    # intermediate repartition level slots in between
     parts = ds.map_batches(partial, batch_format="pyarrow")
 
     def merge(b: pa.Table) -> pa.Table:
@@ -814,7 +864,19 @@ def q_window_agg(sf_dir: str):
             "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
         })
 
-    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
+    return _merge_partials(parts, merge, "user_id",
+                           num_parts=num_parts, input_bytes=input_bytes)
+
+
+def q_window_agg(sf_dir: str):
+    """Driver entry for the tumbling window aggregate; see
+    tumbling_window_agg. Sums are over per-row-rounded integer values so
+    the mirror is bit-exact."""
+    import ray.data
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id", "ts", "value"])
+    return tumbling_window_agg(ds, input_bytes=_input_bytes(path))
 
 
 SQL_Q_WINDOW_AGG = (
@@ -1113,16 +1175,14 @@ SQL_Q_SESSIONIZE = (
 )
 
 
-def q_sliding_window(sf_dir: str):
+def sliding_window_agg(ds, num_parts: int | None = None,
+                       input_bytes: int | None = None):
     """Sliding-window aggregate (1 h window, 30 min slide): each event is
     expanded to its two covering windows inside the batch combiner, then
-    the same partial-agg + tree-reduce merge as the tumbling window — raw
-    events never shuffle, only (user, window) partials do."""
+    the same threshold-selected partial merge as the tumbling window —
+    raw events never shuffle, only (user, window) partials do."""
     import pyarrow.compute as pc
-    import ray.data
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                               columns=["user_id", "ts", "value"])
     half_us = 1_800_000_000  # 30 min in microseconds
 
     def partial(b: pa.Table) -> pa.Table:
@@ -1153,7 +1213,18 @@ def q_sliding_window(sf_dir: str):
             "sum_value_x1000": agg.column("v1000_sum_sum").cast(pa.int64()),
         })
 
-    return parts.repartition(1).map_batches(merge, batch_format="pyarrow")
+    return _merge_partials(parts, merge, "user_id",
+                           num_parts=num_parts, input_bytes=input_bytes)
+
+
+def q_sliding_window(sf_dir: str):
+    """Driver entry for the sliding-window aggregate; see
+    sliding_window_agg."""
+    import ray.data
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = ray.data.read_parquet(path, columns=["user_id", "ts", "value"])
+    return sliding_window_agg(ds, input_bytes=_input_bytes(path))
 
 
 SQL_Q_SLIDING_WINDOW = (

@@ -482,3 +482,37 @@ def test_dedup_cluster_reps_forced_distributed(ray_session):
                                           batch_size=None)).sort_by("doc_id")
     assert t.column("doc_id").to_pylist() == [1, 2, 3, 4, 10]
     assert t.column("rep_doc_id").to_pylist() == [1, 1, 1, 4, 10]
+
+
+def test_two_level_window_merge_high_cardinality(ray_session):
+    """At high (user x window) cardinality the forced two-level merge must
+    match the single-task tree reduce exactly, while no single merge task
+    holds the full result (output stays hash-partitioned)."""
+    import datetime
+
+    import ray.data
+
+    from orc_ray.pipelines.queries_extras import tumbling_window_agg
+
+    n_users = 5000
+    base = datetime.datetime(2024, 1, 1)
+    t = pa.table({
+        "user_id": pa.array(np.arange(n_users, dtype=np.int64)),
+        "ts": pa.array([base + datetime.timedelta(hours=int(u % 48))
+                        for u in range(n_users)],
+                       type=pa.timestamp("us")),
+        "value": pa.array((np.arange(n_users) % 97) / 8.0),
+    })
+    ds = ray.data.from_arrow(t).repartition(8)
+
+    one = tumbling_window_agg(ds, num_parts=1)
+    two = tumbling_window_agg(ds, num_parts=8)
+    one_rows = sorted(one.take_all(), key=lambda r: (r["user_id"], r["window_start"]))
+    two_tbl = two.materialize()
+    # the merged output is spread over multiple blocks: no task saw it all
+    sizes = [m.num_rows for m in two_tbl.get_internal_block_refs()
+             for m in [ray.get(m)]]
+    assert len([s for s in sizes if s > 0]) > 1, sizes
+    assert max(sizes) < n_users, sizes
+    two_rows = sorted(two_tbl.take_all(), key=lambda r: (r["user_id"], r["window_start"]))
+    assert one_rows == two_rows
