@@ -172,6 +172,29 @@ def test_timestamp_split_codec_roundtrip():
     assert ("ts", "SECONDARY") in kinds
 
 
+def test_tz_aware_timestamp_roundtrip():
+    """tz-aware timestamps survive encode/decode with type AND values.
+
+    The reference records a writer timezone per stripe footer
+    (writer.go:418-451) so readers can reconstruct wall-clock values;
+    this engine reaches the same end lossless-ly by serializing the full
+    Arrow schema (including the timestamp tz) into the manifest — Arrow
+    tz-aware values are epoch-UTC, so the split codec (C18) needs no
+    tz math and the restored type re-attaches the zone exactly."""
+    base = 1_700_000_000_000_000
+    vals = pa.array(np.arange(base, base + 5_000_000, 1000), type=pa.int64())
+    for unit, tz in [("us", "America/New_York"), ("ns", "UTC"),
+                     ("us", None), ("s", "+05:30")]:
+        arr = (vals if unit != "s"
+               else pa.array(np.arange(base // 10**6, base // 10**6 + 5000),
+                             type=pa.int64())).cast(pa.timestamp(unit, tz=tz))
+        table = pa.table({"ts": arr})
+        blob, meta = encode_table(table)
+        out = decode_blob(blob, meta)
+        assert out.column("ts").type == pa.timestamp(unit, tz=tz)
+        assert out.equals(table.combine_chunks())
+
+
 def test_nested_struct_roundtrip():
     # writer_test.go:39 nested-structs schema shape
     rng = np.random.default_rng(4)
