@@ -81,20 +81,28 @@ def decode(buf: bytes, out_dtype=np.int64) -> np.ndarray:
 
 def _assemble(planes: np.ndarray, k: int, vmin: int,
               out_dtype=np.int64) -> np.ndarray:
+    # planes are the little-endian bytes of (v - vmin), so scattering
+    # plane p into byte lane p of a zeroed output IS the word assembly —
+    # one strided byte write per plane replaces the shift-or chain's
+    # full-word read-modify-write per plane (measured >2x faster at both
+    # widths; x86/arm little-endian assumed, as everywhere in this codec)
+    n = planes.shape[1]
     if out_dtype == np.int32 and k <= 4:
         # caller guarantees the true values fit int32 (they were encoded
         # from an int32 column), so mod-2^32 arithmetic is exact — half
         # the memory traffic of the 64-bit assemble on the hottest stream
-        res32 = planes[k - 1].astype(np.uint32)
-        for p in range(k - 2, -1, -1):
-            res32 <<= np.uint32(8)
-            res32 |= planes[p]
-        return (res32 + np.uint32(vmin & 0xFFFFFFFF)).view(np.int32)
-    res = planes[k - 1].astype(_U64)
-    for p in range(k - 2, -1, -1):
-        res <<= _U64(8)
-        res |= planes[p]
-    out = (res + _U64(vmin & 0xFFFFFFFFFFFFFFFF)).view(_I64)
+        res32 = np.zeros(n, dtype=np.uint32)
+        lanes = res32.view(_U8).reshape(n, 4)
+        for p in range(k):
+            lanes[:, p] = planes[p]
+        res32 += np.uint32(vmin & 0xFFFFFFFF)
+        return res32.view(np.int32)
+    res = np.zeros(n, dtype=_U64)
+    lanes = res.view(_U8).reshape(n, 8)
+    for p in range(k):
+        lanes[:, p] = planes[p]
+    res += _U64(vmin & 0xFFFFFFFFFFFFFFFF)
+    out = res.view(_I64)
     return out if out_dtype == np.int64 else out.astype(out_dtype, copy=False)
 
 

@@ -104,46 +104,60 @@ def compress_parts(parts, chunk_size: int = DEFAULT_CHUNK,
 
 
 def decompress(data, raw_length: int,
-               chunk_size: int = DEFAULT_CHUNK) -> bytes:
+               chunk_size: int = DEFAULT_CHUNK) -> bytearray:
     """Decompress a full chunked-zstd stream. ``raw_length`` is the
     stream's uncompressed size (manifest ``raw_length``): zstd needs the
     exact per-chunk output size, which is ``chunk_size`` for every chunk
-    except the tail remainder."""
-    out = bytearray()
+    except the tail remainder.
+
+    Writes chunks into a preallocated buffer — the grow-and-copy
+    ``bytes(out)`` version moved every decoded stream through memory a
+    second time, which on the bus-bound 32-way decode was pure overhead.
+    Returns the bytearray itself (buffer protocol: ``np.frombuffer``,
+    slicing and indexing behave exactly like bytes downstream)."""
+    out = bytearray(raw_length)
+    outmv = memoryview(out)
     mv = memoryview(data)
     pos = 0
     n = len(mv)
-    remaining = raw_length
+    wpos = 0
     c = _codec(1)
     while pos < n:
         h = mv[pos] | (mv[pos + 1] << 8) | (mv[pos + 2] << 16)
         pos += 3
         length = h >> 1
-        raw_n = min(chunk_size, remaining)
+        raw_n = min(chunk_size, raw_length - wpos)
         if h & 1:  # stored original
-            out += mv[pos: pos + length]
+            outmv[wpos: wpos + length] = mv[pos: pos + length]
         else:
-            out += c.decompress(mv[pos: pos + length], raw_n)
+            # pa.Buffer's memoryview is format 'b'; cast('B') is zero-copy
+            outmv[wpos: wpos + raw_n] = memoryview(
+                c.decompress(mv[pos: pos + length], raw_n)).cast("B")
         pos += length
-        remaining -= raw_n
-    return bytes(out)
+        wpos += raw_n
+    return out
 
 
-def decompress_chunks(data, raw_sizes) -> bytes:
+def decompress_chunks(data, raw_sizes) -> bytearray:
     """Decompress consecutive chunks whose raw sizes are known (range-read
     path: the caller sliced ``data`` at chunk boundaries via the stream's
     chunk-offset index)."""
-    out = bytearray()
+    out = bytearray(int(sum(raw_sizes)))
+    outmv = memoryview(out)
     mv = memoryview(data)
     pos = 0
+    wpos = 0
     c = _codec(1)
     for raw_n in raw_sizes:
         h = mv[pos] | (mv[pos + 1] << 8) | (mv[pos + 2] << 16)
         pos += 3
         length = h >> 1
         if h & 1:
-            out += mv[pos: pos + length]
+            outmv[wpos: wpos + length] = mv[pos: pos + length]
         else:
-            out += c.decompress(mv[pos: pos + length], raw_n)
+            # pa.Buffer's memoryview is format 'b'; cast('B') is zero-copy
+            outmv[wpos: wpos + raw_n] = memoryview(
+                c.decompress(mv[pos: pos + length], raw_n)).cast("B")
         pos += length
-    return bytes(out)
+        wpos += raw_n
+    return out

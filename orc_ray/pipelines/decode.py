@@ -54,10 +54,8 @@ class ManifestShardDecoder(StripeDecoder):
     lists, so no driver-side manifest scan happens at all."""
 
     def __call__(self, batch: pa.Table):
-        import pyarrow.parquet as pq
-
         for path in batch.column("path").to_pylist():
-            man = pq.read_table(path, columns=["blob_path", "meta_json"])
+            man = mf.read_manifest_file(path, columns=["blob_path", "meta_json"])
             yield from super().__call__(man)
 
 
