@@ -51,7 +51,11 @@ def chunk_offsets(data: bytes) -> list[int]:
     return out
 
 
-def decompress(data: bytes) -> bytes:
+def decompress(data: bytes) -> bytearray:
+    # appends into one bytearray and returns it directly — the final
+    # ``bytes(out)`` of the original version re-copied every decoded
+    # stream (deflate self-describes length, so unlike zstdchunk the
+    # output can't be preallocated without a second header walk)
     out = bytearray()
     pos = 0
     n = len(data)
@@ -64,4 +68,4 @@ def decompress(data: bytes) -> bytes:
         else:
             out += zlib.decompress(data[pos: pos + length], -15)
         pos += length
-    return bytes(out)
+    return out
