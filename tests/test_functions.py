@@ -467,6 +467,38 @@ def test_component_labels_distributed_matches_unionfind(ray_session):
     assert got == want
 
 
+def test_component_labels_million_pair_graph(ray_session):
+    """The distributed-closure path at the scale the driver union-find is
+    there to avoid: ~1M edges, synthesized INSIDE map_batches tasks (the
+    driver never holds the edge list) and verified through aggregates
+    only (count + label sum) — no labels materialization either.
+
+    Graph: 65,535 stars of 16 nodes (hub = c*16). Stars converge in the
+    seed round, so the runtime is the million-row join/groupby rounds
+    themselves, not propagation depth — multi-round propagation is pinned
+    by the 30-node-chain test above."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    n_clusters = 65_535
+
+    def make_edges(batch: pa.Table) -> pa.Table:
+        c = batch.column("id").to_numpy(zero_copy_only=False)
+        hub = (c * 16).repeat(15)
+        leaf = hub + np.tile(np.arange(1, 16, dtype=np.int64), len(c))
+        return pa.table({"doc_a": pa.array(hub, type=pa.int64()),
+                         "doc_b": pa.array(leaf, type=pa.int64())})
+
+    pairs = ray.data.range(n_clusters, override_num_blocks=8).map_batches(
+        make_edges, batch_format="pyarrow")
+    labels = dedup.component_labels_ds(pairs, num_partitions=4)
+
+    assert labels.count() == n_clusters * 16
+    got_sum = labels.aggregate(Sum("label"))["sum(label)"]
+    # every star node is labeled with its hub = 16c
+    assert got_sum == 16 * 16 * (n_clusters * (n_clusters - 1) // 2)
+
+
 def test_dedup_cluster_reps_forced_distributed(ray_session):
     """dedup_cluster_reps with max_driver_pairs=0 exercises the
     distributed closure + left-outer attach; singleton docs self-rep."""
