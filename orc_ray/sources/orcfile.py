@@ -153,6 +153,110 @@ def _lz4_block_decompress(src: bytes) -> bytes:
     return bytes(out)
 
 
+def _lzo1x_decompress(src: bytes) -> bytes:
+    """Pure-python LZO1X block decoder, per the publicly documented stream
+    format (Linux Documentation/lzo.txt).  The decoder is a 4-state
+    machine: ``state`` = number of literals the previous instruction
+    copied (0-3, or 4 meaning ">=4"), which disambiguates the 0..15
+    opcodes.  Only used for the conformance corpus — files are ~100 KiB,
+    so the per-byte loop is irrelevant."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    state = 0
+
+    def copy_match(dist: int, length: int) -> None:
+        start = len(out) - dist
+        if start < 0:
+            raise OrcFormatError("lzo: match distance before stream start")
+        if dist >= length:
+            out.extend(out[start: start + length])
+        else:  # overlapping run: byte-forward copy is the semantics
+            for j in range(length):
+                out.append(out[start + j])
+
+    if n and src[0] > 17:  # leading literal run: length = byte - 17
+        t = src[0] - 17
+        i = 1
+        out += src[i: i + t]
+        i += t
+        state = 4 if t >= 4 else t
+    while i < n:
+        t = src[i]
+        i += 1
+        if t < 16:
+            if state == 0:  # long literal run
+                length = t
+                if length == 0:
+                    while src[i] == 0:
+                        length += 255
+                        i += 1
+                    length += src[i]
+                    i += 1
+                    length += 15
+                length += 3
+                out += src[i: i + length]
+                i += length
+                state = 4
+                continue
+            d = (t >> 2) & 3
+            s = t & 3
+            h = src[i]
+            i += 1
+            if state == 4:  # copy 3 bytes from 2..3 kB distance
+                copy_match((h << 2) + d + 2049, 3)
+            else:  # state 1..3: copy 2 bytes from <=1 kB distance
+                copy_match((h << 2) + d + 1, 2)
+        elif t >= 64:  # copy 3-4 (01LDDDSS) or 5-8 (1LLDDDSS) bytes, <=2 kB
+            length = 5 + ((t >> 5) & 3) if t >= 128 else 3 + ((t >> 5) & 1)
+            s = t & 3
+            h = src[i]
+            i += 1
+            copy_match((h << 3) + ((t >> 2) & 7) + 1, length)
+        elif t >= 32:  # 001LLLLL: block within 16 kB
+            length = t & 31
+            if length == 0:
+                while src[i] == 0:
+                    length += 255
+                    i += 1
+                length += src[i]
+                i += 1
+                length += 31
+            length += 2
+            le = src[i] | (src[i + 1] << 8)
+            i += 2
+            s = le & 3
+            copy_match((le >> 2) + 1, length)
+        else:  # 0001HLLL: block within 16..48 kB, or end-of-stream
+            length = t & 7
+            if length == 0:
+                while src[i] == 0:
+                    length += 255
+                    i += 1
+                length += src[i]
+                i += 1
+                length += 7
+            length += 2
+            le = src[i] | (src[i + 1] << 8)
+            i += 2
+            s = le & 3
+            dist = 16384 + ((t & 8) << 11) + (le >> 2)
+            if dist == 16384:
+                break  # end-of-stream marker (17 0 0)
+            copy_match(dist, length)
+        out += src[i: i + s]
+        i += s
+        state = s
+    return bytes(out)
+
+
+def _zstd_frame_decompress(src: bytes) -> bytes:
+    """One zstd frame of unknown content size: stream-decompress through
+    pyarrow's bundled zstd (no frame-header content-size field needed)."""
+    stream = pa.input_stream(pa.py_buffer(src), compression="zstd")
+    return stream.read()
+
+
 def _decompress(data: bytes | memoryview, kind: int) -> bytes:
     data = bytes(data)
     if kind == 0:
@@ -161,8 +265,12 @@ def _decompress(data: bytes | memoryview, kind: int) -> bytes:
         return zlibchunk.decompress(data)
     if kind == 2:
         block = snappyblock.decompress_raw
+    elif kind == 3:
+        block = _lzo1x_decompress
     elif kind == 4:
         block = _lz4_block_decompress
+    elif kind == 5:
+        block = _zstd_frame_decompress
     else:
         raise OrcUnsupportedError(
             f"compression kind {_COMPRESSION_NAMES.get(kind, kind)} is not supported"

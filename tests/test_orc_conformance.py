@@ -3,10 +3,10 @@
 Mirrors /root/reference/orc_test.go:14-131 (TestReadExamples): decode
 examples/*.orc with the foreign-ORC reader and compare every row against
 examples/expected/*.jsn.gz.  The reference only enables 7 of the files in
-its own suite; this harness compares all 23 that have golden JSON
-(everything except LZO, which has no pure-python decoder here), plus a
-v11-vs-v12 cross-check of the two demo files and the version-rejection
-test for version1999.orc.
+its own suite; this harness compares ALL 23 that have golden JSON
+(including LZO, via the pure-python lzo1x decoder), plus a v11-vs-v12
+cross-check of the two demo files and the version-rejection test for
+version1999.orc.
 
 No Ray needed — decode is in-process (the distributed path is covered by
 test_read_orc_dataset in test_orc_import.py).
@@ -47,6 +47,7 @@ GOLDEN_FILES = [
     "TestOrcFile.testUnionAndTimestamp",
     "TestOrcFile.testWithoutIndex",
     "TestVectorOrcFile.testLz4",
+    "TestVectorOrcFile.testLzo",
     "decimal",
     "nulls-at-end-snappy",
     "orc-file-11-format",
@@ -212,9 +213,11 @@ def test_version1999_rejected():
         ORCFile(os.path.join(EXAMPLES, "version1999.orc"))
 
 
-def test_lzo_unsupported_is_clean():
+def test_unknown_compression_kind_is_clean():
+    from orc_ray.sources.orcfile import _decompress
+
     with pytest.raises(OrcUnsupportedError):
-        ORCFile(os.path.join(EXAMPLES, "TestVectorOrcFile.testLzo.orc")).read()
+        _decompress(b"\x06\x00\x00abc", 6)
 
 
 def test_demo_v11_equals_v12():

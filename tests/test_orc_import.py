@@ -35,6 +35,24 @@ def test_pyarrow_orc_crosscheck(tmp_path):
             assert a.equals(b), f"{name}.{c} differs"
 
 
+def test_pyarrow_orc_crosscheck_all_codecs(tmp_path):
+    """The same table written by pyarrow-ORC under every CompressionKind
+    it can produce (zstd/lz4/snappy/zlib/none) reads back bit-identical —
+    pins the zstd stream-frame path and small compression_block_size
+    chunking."""
+    for comp in ("zstd", "lz4", "snappy", "zlib", "uncompressed"):
+        t, dst = _write_orc(tmp_path, "events", compression=comp,
+                            compression_block_size=4096)
+        mine = ORCFile(dst).read()
+        assert mine.num_rows == t.num_rows
+        for c in t.column_names:
+            a = t.column(c).combine_chunks()
+            b = mine.column(c).combine_chunks()
+            if a.type != b.type:
+                b = b.cast(a.type)
+            assert a.equals(b), f"{name}.{c} differs"
+
+
 def test_read_orc_dataset_distributed(ray_session, tmp_path):
     """Per-stripe distributed decode: small stripes force multiple decode
     tasks; result equals the source table."""
