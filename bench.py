@@ -288,9 +288,25 @@ def main() -> None:
         return
 
     phases = tuple(args.phases.split(","))
+    # in-run hardware control: single-core memcpy bandwidth right now.
+    # This VM's effective capacity swings >10x with hypervisor co-tenancy
+    # (quiet windows read 15-22 GB/s, contended ones <1); recording it in
+    # the same JSON line lets a single-shot measurement be read against
+    # the quiet-window numbers in BASELINE.md instead of as engine drift.
+    import numpy as _np
+    _a = _np.ones(200_000_000, dtype=_np.uint8)
+    _best = float("inf")
+    for _ in range(3):
+        _t0 = time.perf_counter()
+        _a.copy()
+        _best = min(_best, time.perf_counter() - _t0)
+    box_memcpy = _a.nbytes / _best / 1e9
+    del _a
+
     out = run_headline(args.sf_dir, args.cpus,
                        tuple(p for p in phases if p != "queries"),
                        rows_override=args.rows or None)
+    out["box_memcpy_gbps_1core"] = round(box_memcpy, 2)
     if "queries" in phases:
         run_oracle_queries(args.sf_dir, out)
 
