@@ -189,6 +189,8 @@ def cmd_schema(args) -> int:
 
 def cmd_import_orc(args) -> int:
     """Decode a foreign Apache-ORC file to parquet/csv (or print info)."""
+    import pyarrow as pa
+
     from .sources.orcfile import ORCFile
 
     f = ORCFile(args.file)
@@ -203,7 +205,40 @@ def cmd_import_orc(args) -> int:
         }
         print(json.dumps(info, indent=2))
         return 0
-    table = f.read(columns=args.columns.split(",") if args.columns else None)
+    cols = args.columns.split(",") if args.columns else None
+    if args.filter:
+        import pyarrow.compute as pc
+
+        def _coerce(v: str):
+            for cast in (int, float):
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        col, lo, hi = args.filter.split(":")
+        lo, hi = _coerce(lo), _coerce(hi)
+        stats = f.stripe_statistics()
+        keep = [
+            i for i in range(len(f.stripes))
+            if not (i < len(stats) and (s := stats[i].get(col))
+                    and s[0] is not None and s[1] is not None
+                    and (s[1] < lo or s[0] > hi))
+        ]
+        print(f"pruned {len(f.stripes) - len(keep)}/{len(f.stripes)} "
+              "stripes by statistics", file=sys.stderr)
+        want = cols if cols is None or col in cols else cols + [col]
+        parts = [f.read_stripe(i, want) for i in keep]
+        table = (pa.concat_tables(parts) if parts
+                 else f.arrow_schema().empty_table())
+        table = table.filter(pc.and_(
+            pc.greater_equal(table.column(col), lo),
+            pc.less_equal(table.column(col), hi)))
+        if cols is not None:
+            table = table.select(cols)
+    else:
+        table = f.read(columns=cols)
     if args.out.endswith(".csv"):
         import pyarrow.csv as pacsv
         pacsv.write_csv(table, args.out)
@@ -275,6 +310,9 @@ def main(argv=None) -> int:
     p.add_argument("--out", default=None,
                    help="output path (.parquet or .csv); omit to print file info")
     p.add_argument("--columns", default=None, help="comma-separated projection")
+    p.add_argument("--filter", default=None, metavar="COL:LO:HI",
+                   help="keep rows with LO <= COL <= HI; stripes whose "
+                   "file statistics exclude the range are never read")
     p.set_defaults(fn=cmd_import_orc)
 
     p = sub.add_parser("schema", help="print encoded dataset schema as DDL")

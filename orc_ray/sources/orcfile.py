@@ -298,6 +298,56 @@ _KIND_NAMES = [
 ]
 
 
+def _unzig(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _stats_min_max(cs: dict, kind: int):
+    """(min, max) from one ColumnStatistics message for comparable kinds
+    (orc.proto:22-63 field numbers); (None, None) otherwise."""
+    if kind in (1, 2, 3, 4):  # byte/short/int/long -> IntegerStatistics
+        sub = _pb_one(cs, 2)
+        if sub is not None:
+            f = _pb_fields(sub)
+            lo, hi = _pb_one(f, 1), _pb_one(f, 2)
+            return (_unzig(lo) if lo is not None else None,
+                    _unzig(hi) if hi is not None else None)
+    elif kind in (5, 6):  # float/double -> DoubleStatistics (fixed64)
+        sub = _pb_one(cs, 3)
+        if sub is not None:
+            f = _pb_fields(sub)
+            lo, hi = _pb_one(f, 1), _pb_one(f, 2)
+            u = struct.Struct("<d")
+            return (u.unpack(int.to_bytes(lo, 8, "little"))[0]
+                    if lo is not None else None,
+                    u.unpack(int.to_bytes(hi, 8, "little"))[0]
+                    if hi is not None else None)
+    elif kind in (7, 16, 17):  # string/varchar/char -> StringStatistics
+        sub = _pb_one(cs, 4)
+        if sub is not None:
+            f = _pb_fields(sub)
+            lo, hi = _pb_one(f, 1), _pb_one(f, 2)
+            return (bytes(lo).decode() if lo is not None else None,
+                    bytes(hi).decode() if hi is not None else None)
+    elif kind == 15:  # date -> DateStatistics (sint32 days)
+        sub = _pb_one(cs, 7)
+        if sub is not None:
+            f = _pb_fields(sub)
+            lo, hi = _pb_one(f, 1), _pb_one(f, 2)
+            return (_unzig(lo) if lo is not None else None,
+                    _unzig(hi) if hi is not None else None)
+    elif kind == 9:  # timestamp -> TimestampStatistics (sint64 epoch-ms)
+        sub = _pb_one(cs, 9)
+        if sub is not None:
+            f = _pb_fields(sub)
+            # prefer the tz-unambiguous UTC fields when the writer set them
+            lo = _pb_one(f, 3, _pb_one(f, 1))
+            hi = _pb_one(f, 4, _pb_one(f, 2))
+            return (_unzig(lo) if lo is not None else None,
+                    _unzig(hi) if hi is not None else None)
+    return (None, None)
+
+
 @dataclass
 class OrcType:
     column: int  # column id == index in footer types list
@@ -408,7 +458,10 @@ class ORCFile:
             name = _pb_one(f, 1)
             if name is not None:
                 self.user_metadata[bytes(name).decode()] = bytes(_pb_one(f, 2, b""))
-        del meta_len  # Metadata (stripe stats) section: not needed for decode
+        # Metadata (stripe stats) section sits immediately before the
+        # footer; parsed lazily by stripe_statistics() for pushdown
+        self._meta_section = (tail_start - meta_len, meta_len)
+        self._stripe_stats: list[dict] | None = None
 
     # -- public API ---------------------------------------------------------
 
@@ -426,6 +479,46 @@ class ORCFile:
         sf_off = st.offset + st.index_length + st.data_length
         return _pb_fields(_decompress(
             self._data[sf_off: sf_off + st.footer_length], self.compression))
+
+    def stripe_statistics(self) -> list[dict]:
+        """Per-stripe top-level column statistics from the file tail's
+        Metadata section (proto/orc.proto:185-191, the same stats the
+        reference's columnstatistics.go accumulates): one dict per stripe
+        mapping column name -> (min, max, number_of_values, has_null).
+        min/max are None for types without comparable stats (or when the
+        writer omitted them).  Timestamps are epoch-milliseconds, dates
+        epoch-days — the proto's own units.  Returns [] when the file has
+        no Metadata section.  Drives stripe-skipping predicate pushdown in
+        ``read_orc`` (the foreign-file analogue of
+        ``pipelines.decode.decode_dataset_filtered``)."""
+        if self._stripe_stats is not None:
+            return self._stripe_stats
+        start, ln = self._meta_section
+        if ln <= 0:
+            self._stripe_stats = []
+            return self._stripe_stats
+        meta = _pb_fields(_decompress(self._data[start: start + ln],
+                                      self.compression))
+        root = self.schema
+        tops: list[tuple[str, int, int]] = []  # (name, column id, kind)
+        if root.kind == 12:
+            for nm, child in zip(root.field_names, root.children):
+                tops.append((nm, child.column, child.kind))
+        else:
+            tops.append(("_value", root.column, root.kind))
+        out: list[dict] = []
+        for sbuf in meta.get(1, []):  # StripeStatistics
+            cols = _pb_fields(sbuf).get(1, [])  # repeated ColumnStatistics
+            st: dict = {}
+            for nm, cid, kind in tops:
+                if cid >= len(cols):
+                    continue
+                cs = _pb_fields(cols[cid])
+                lo, hi = _stats_min_max(cs, kind)
+                st[nm] = (lo, hi, _pb_one(cs, 1, 0), bool(_pb_one(cs, 10, 0)))
+            out.append(st)
+        self._stripe_stats = out
+        return out
 
     def writer_timezone(self, i: int = 0) -> str | None:
         """StripeFooter.writerTimezone (orc.proto field 3).  The reference
@@ -777,29 +870,66 @@ class _StripeDecoder:
 
 
 def read_orc(paths: str | list[str], columns: list[str] | None = None,
-             concurrency: int | None = None):
+             concurrency: int | None = None,
+             predicate: tuple | None = None):
     """Read Apache ORC file(s) as a ``ray.data.Dataset``, one decode task
     per stripe.  Tail parse (metadata only) happens on the driver; stripe
-    payload decode is distributed."""
+    payload decode is distributed.
+
+    ``predicate=(column, lo, hi)`` keeps rows with lo <= column <= hi:
+    stripes whose file-tail statistics prove an empty intersection are
+    skipped without reading a single payload byte (the foreign-file
+    analogue of ``decode_dataset_filtered``'s manifest-stats pushdown);
+    surviving stripes filter exactly, vectorized."""
     import ray
     import ray.data
 
     if isinstance(paths, str):
         paths = [paths]
+    pcol = predicate[0] if predicate else None
+    want = columns
+    if predicate and columns is not None and pcol not in columns:
+        want = list(columns) + [pcol]
+
+    def _filter_exact(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        _, lo, hi = predicate
+        mask = pc.and_(pc.greater_equal(t.column(pcol), lo),
+                       pc.less_equal(t.column(pcol), hi))
+        t = t.filter(mask)
+        return t.select(columns) if columns is not None else t
+
     work: list[dict] = []
+    schema = None
     for p in paths:
         f = ORCFile(p)
+        schema = f.arrow_schema()
+        stats = f.stripe_statistics() if predicate else []
         for i in range(len(f.stripes)):
+            if predicate and i < len(stats):
+                s = stats[i].get(pcol)
+                if s is not None and s[0] is not None and s[1] is not None \
+                        and (s[1] < predicate[1] or s[0] > predicate[2]):
+                    continue  # stats prove no row can match
             work.append({"path": p, "stripe": i})
         if not f.stripes:
-            return ray.data.from_arrow(f.read(columns))
+            t = f.read(columns=want)
+            return ray.data.from_arrow(_filter_exact(t) if predicate else t)
+    if not work:  # every stripe pruned
+        empty = pa.table({n: pa.array([], type=t)
+                          for n, t in zip(schema.names, schema.types)})
+        if columns is not None:
+            empty = empty.select(columns)
+        return ray.data.from_arrow(empty)
     items = ray.data.from_items(work)
 
     def _decode(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
             fl = ORCFile(row["path"])
-            tables.append(fl.read_stripe(row["stripe"], columns))
+            t = fl.read_stripe(row["stripe"], want)
+            tables.append(_filter_exact(t) if predicate else t)
         return pa.concat_tables(tables)
 
     return items.map_batches(_decode, batch_format="pyarrow", batch_size=1,

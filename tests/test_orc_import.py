@@ -71,6 +71,59 @@ def test_read_orc_dataset_distributed(ray_session, tmp_path):
     assert got.equals(t)
 
 
+def test_stripe_statistics_and_pushdown(ray_session, tmp_path):
+    """Foreign-ORC predicate pushdown: the golden split-elimination file
+    (5 stripes with known userid ranges) plus a pyarrow-written
+    multi-stripe file.  Stat-pruning must skip provably-empty stripes
+    and the surviving exact filter must equal a full-scan filter."""
+    import pyarrow.compute as pc
+
+    src = "/root/reference/examples/orc_split_elim.orc"
+    f = ORCFile(src)
+    ss = f.stripe_statistics()
+    assert len(ss) == len(f.stripes) == 5
+    # the file's known per-stripe userid minima: 2, 13, 29, 70, 5
+    assert [s["userid"][0] for s in ss] == [2, 13, 29, 70, 5]
+    assert all(s["userid"][1] == 100 for s in ss)
+
+    full = f.read()
+    want = full.filter(pc.less_equal(full.column("userid"), 4))
+    ds = read_orc(src, predicate=("userid", 0, 4))
+    got = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got.num_rows == want.num_rows
+    assert got.sort_by("ts").equals(want.sort_by("ts").select(got.column_names))
+
+    # pyarrow-written multi-stripe file: sorted key -> prunable stripes
+    import numpy as np
+    n = 200_000
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "k": pa.array(range(n), pa.int64()),
+        "v": pa.array([i % 997 for i in range(n)], pa.int64()),
+        "pad": pa.array(rng.integers(0, 2**62, n)),  # incompressible
+    })
+    dst = str(tmp_path / "sorted.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    f2 = ORCFile(dst)
+    assert len(f2.stripes) > 2
+    lo, hi = 1000, 1999
+    ds2 = read_orc(dst, columns=["v"], predicate=("k", lo, hi))
+    got2 = pa.concat_tables(
+        ds2.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert got2.column_names == ["v"]
+    assert got2.num_rows == 1000
+    assert sorted(got2.column("v").to_pylist()) == \
+        sorted(x % 997 for x in range(lo, hi + 1))
+
+    # all-pruned predicate -> empty dataset with the projected schema
+    ds3 = read_orc(dst, columns=["v"], predicate=("k", 10 * n, 11 * n))
+    t3 = pa.concat_tables(
+        ds3.iter_batches(batch_format="pyarrow", batch_size=None)) \
+        if ds3.count() else None
+    assert ds3.count() == 0 and t3 is None
+
+
 def test_read_orc_projection(tmp_path):
     t, dst = _write_orc(tmp_path, "documents")
     mine = ORCFile(dst).read(columns=["doc_id", "n_chars"])
