@@ -73,8 +73,27 @@ def _make_pow_cache(base: int):
     return table
 
 
+def _make_powsum_cache():
+    """T[j] = K * sum_{i<j} P^i mod 2^64 (one extra slot past the pow
+    table) — lets the per-value ``terms += K`` pass collapse to a
+    per-SEGMENT ``K*(T[end]-T[start])`` gather, since
+    sum_seg((v+K)*P^i) = sum_seg(v*P^i) + K*sum_seg(P^i)."""
+    cache = np.empty(0, dtype=_U64)
+
+    def table(m: int) -> np.ndarray:
+        nonlocal cache
+        if len(cache) < m + 1:
+            pows = _pow_table(2 * m + 1)
+            cache = np.zeros(len(pows) + 1, dtype=_U64)
+            np.cumsum(pows * _K, out=cache[1:])
+        return cache
+
+    return table
+
+
 _pow_table = _make_pow_cache(int(_P))
 _pow_table_inv = _make_pow_cache(int(_PINV))
+_powsum_table = _make_powsum_cache()
 
 
 def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -87,17 +106,24 @@ def _poly_hash_segments(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     n = len(offsets) - 1
     if len(values) == 0:
         return np.zeros(n, dtype=_U64)
-    terms = values.astype(_U64)
-    terms += _K
-    terms *= _pow_table(len(values))
+    m = len(values)
+    # widen+multiply in one pass (ufunc dtype=uint64 sign-extends int32
+    # exactly like the old .astype chain); the +K per-value pass is folded
+    # into a per-segment gather from the K-scaled power prefix sums —
+    # together they drop two full passes over the hottest stream
+    terms = np.multiply(values, _pow_table(m), dtype=_U64, casting="unsafe")
     lengths = np.diff(offsets)
     out = np.zeros(n, dtype=_U64)
     nz = lengths > 0
     starts = offsets[:-1][nz]
+    ends = offsets[1:][nz]
     seg_sums = np.add.reduceat(terms, starts)
+    psum = _powsum_table(m)
+    seg_sums += psum[ends]
+    seg_sums -= psum[starts]
     # P^(-start) via a gather from the cached inverse-power table (a
     # vectorized binpow per call was ~14% of fused decode+verify)
-    out[nz] = seg_sums * _pow_table_inv(len(values))[starts]
+    out[nz] = seg_sums * _pow_table_inv(m)[starts]
     return out
 
 
