@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_roundtrip": q.q_union_roundtrip,
         "bool_stats": q.q_bool_stats,
         "orc_import": q.q_orc_import,
+        "orc_pushdown": q.q_orc_pushdown,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -112,6 +113,7 @@ def oracle_sql() -> dict[str, str]:
         "union_roundtrip": q.SQL_UNION_ROUNDTRIP,
         "bool_stats": q.SQL_BOOL_STATS,
         "orc_import": q.SQL_ORC_IMPORT,
+        "orc_pushdown": q.SQL_ORC_PUSHDOWN,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,

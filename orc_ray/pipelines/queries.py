@@ -608,3 +608,39 @@ def q_orc_import(sf_dir: str):
 
 
 SQL_ORC_IMPORT = "SELECT event_id, ts, user_id, event_type, value, props FROM events"
+
+
+def q_orc_pushdown(sf_dir: str):
+    """Foreign-ORC predicate pushdown (the foreign-file analogue of S2's
+    stat-pruned decode_filter): write the events table to a real
+    Apache-ORC file sorted by user_id in small stripes — so the file
+    tail's per-stripe ColumnStatistics carry disjoint user_id ranges —
+    then read it back through ``read_orc(predicate=...)``, which skips
+    every stripe whose stats prove an empty intersection before a single
+    payload byte is read and applies the exact vectorized filter on the
+    survivors. Oracle: the same range filter in SQL on the source table."""
+    import hashlib
+
+    import pyarrow.orc as paorc
+    import pyarrow.parquet as pq
+
+    from ..sources.orcfile import read_orc
+
+    src = os.path.join(sf_dir, "events.parquet")
+    t = pq.read_table(src).sort_by("user_id")
+    dst = os.path.join("/tmp", "orc_ray_work",
+                       f"pushdn_{hashlib.md5(src.encode()).hexdigest()[:8]}.orc")
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    schema = t.select(["event_id", "ts", "user_id", "value"]).schema
+
+    def recast(b: pa.Table) -> pa.Table:
+        return b.cast(schema)  # ORC carries ns timestamps; source is us
+
+    ds = read_orc(dst, columns=["event_id", "ts", "user_id", "value"],
+                  predicate=("user_id", 2, 4))
+    return ds.map_batches(recast, batch_format="pyarrow")
+
+
+SQL_ORC_PUSHDOWN = ("SELECT event_id, ts, user_id, value FROM events "
+                    "WHERE user_id BETWEEN 2 AND 4")
