@@ -226,8 +226,13 @@ def cmd_import_orc(args) -> int:
                     and s[0] is not None and s[1] is not None
                     and (s[1] < lo or s[0] > hi))
         ]
+        n_stat = len(f.stripes) - len(keep)
+        if lo == hi:  # point lookup: bloom-filter index streams too
+            keep = [i for i in keep if f.bloom_might_contain(i, col, lo)]
         print(f"pruned {len(f.stripes) - len(keep)}/{len(f.stripes)} "
-              "stripes by statistics", file=sys.stderr)
+              f"stripes ({n_stat} by statistics, "
+              f"{len(f.stripes) - len(keep) - n_stat} by bloom)",
+              file=sys.stderr)
         want = cols if cols is None or col in cols else cols + [col]
         parts = [f.read_stripe(i, want) for i in keep]
         table = (pa.concat_tables(parts) if parts

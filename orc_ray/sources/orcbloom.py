@@ -1,0 +1,214 @@
+"""Foreign Apache-ORC bloom-filter probing for point-lookup stripe skipping.
+
+ORC writers attach per-row-group bloom filters as BLOOM_FILTER /
+BLOOM_FILTER_UTF8 index streams (proto/orc.proto:92-100,113-114 — the
+stream kinds the reference enumerates but never implements; its
+columnstatistics.go has no bloom path at all). This module implements the
+probe side over the index region only: an equality lookup reads a stripe's
+bloom streams (a few KB at the stripe head), probes every row group's
+filter, and skips the whole stripe's DATA region unread when no row group
+can contain the value — the foreign-file analogue of the engine's own
+stripe-granular bloom skipping (codecs/bloom.py, `point_lookup`).
+
+The hashing/probing scheme was recovered EMPIRICALLY from the golden
+``over1k_bloom.orc`` (Hive writerVersion=1, the only bloom-bearing file in
+the reference corpus) and is pinned by tests/test_orc_bloom.py, which
+asserts a 100% hit rate for every value actually present, per type:
+
+- every hashable value is reduced to bytes and hashed with Hive's
+  Murmur3 ``hash64`` (x64 64-bit variant, seed 104729): strings/binary as
+  their raw bytes, all integer widths + date (epoch-days) + timestamp
+  (epoch-millis) as the value's 8 little-endian bytes, float/double as the
+  8 LE bytes of the IEEE-754 DOUBLE bit pattern;
+- bit positions use Kirsch-Mitzenmacher double hashing in Java 32-bit
+  signed arithmetic — ``combined = (int)h + i*(int)(h>>>32)`` for
+  ``i=1..k``, bit-flipped (~) when negative — modulo the UNPADDED optimal
+  bit count ``floor(-n*ln(fpp)/ln(2)^2)``, not the word-aligned bitset
+  size (the 48-bit difference is why a naive padded modulo misses every
+  probe);
+- a filter with no set bits is inconclusive, not a proof of absence: the
+  golden file's boolean column carries an all-zero filter despite holding
+  data (its writer never added booleans), so skipping on it would drop
+  rows.
+
+Later writer lineages (the orc.proto BLOOM_FILTER_UTF8 layout) are
+documented to hash longs through Thomas Wang's 64-bit mix instead; with no
+golden file to validate against, integer probes test BOTH candidate hashes
+and only report "cannot contain" when both miss — bloom skipping must be
+conservative, a false positive costs one stripe decode while a false
+negative loses data.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+import numpy as np
+
+_M64 = 0xFFFFFFFFFFFFFFFF
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+_DEFAULT_SEED = 104729  # Hive Murmur3.DEFAULT_SEED
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix64(h: int) -> int:
+    h ^= h >> 33
+    h = (h * 0xFF51AFD7ED558CCD) & _M64
+    h ^= h >> 33
+    h = (h * 0xC4CEB9FE1A85EC53) & _M64
+    h ^= h >> 33
+    return h
+
+
+def murmur3_hash64(data: bytes, seed: int = _DEFAULT_SEED) -> int:
+    """Hive Murmur3.hash64(byte[]): the x64 64-bit variant (one lane of
+    x64_128's block mixing) over little-endian 8-byte blocks."""
+    h = seed & _M64
+    n8 = len(data) // 8
+    for (k,) in struct.iter_unpack("<Q", data[: n8 * 8]):
+        k = (k * _C1) & _M64
+        k = _rotl64(k, 31)
+        k = (k * _C2) & _M64
+        h ^= k
+        h = _rotl64(h, 27)
+        h = (h * 5 + 0x52DCE729) & _M64
+    tail = data[n8 * 8:]
+    if tail:
+        k = 0
+        for i in range(len(tail) - 1, -1, -1):
+            k = (k << 8) | tail[i]
+        k = (k * _C1) & _M64
+        k = _rotl64(k, 31)
+        k = (k * _C2) & _M64
+        h ^= k
+    h ^= len(data)
+    return _fmix64(h)
+
+
+def wang_long_hash(key: int) -> int:
+    """Thomas Wang's 64-bit integer hash — the long-hash used by later
+    Hive/ORC BloomFilter lineages (probed as a conservative second
+    candidate; see module docstring)."""
+    key &= _M64
+    key = (~key + (key << 21)) & _M64
+    key ^= key >> 24
+    key = (key + (key << 3) + (key << 8)) & _M64
+    key ^= key >> 14
+    key = (key + (key << 2) + (key << 4)) & _M64
+    key ^= key >> 28
+    key = (key + (key << 31)) & _M64
+    return key
+
+
+# ORC type kinds (proto TypeKind) a probe value can be hashed for.
+_INT_KINDS = frozenset((1, 2, 3, 4, 15))     # byte..long, date
+_FLOAT_KINDS = frozenset((5, 6))
+_BYTES_KINDS = frozenset((7, 8, 16, 17))     # string, binary, varchar, char
+_TS_KIND = 9
+
+
+def probe_hashes(value, kind: int) -> list[int]:
+    """Candidate 64-bit bloom hashes of ``value`` for an ORC column of
+    ``kind``; empty when the kind has no validated bloom hashing
+    (boolean, decimal, nested — boolean blooms are empty in practice).
+    Timestamp probes take epoch-MILLISECONDS in the writer's frame — only
+    meaningful when the stripe footer records a writerTimezone (legacy
+    files without one hashed local-JVM wall time, unrecoverable from the
+    file). A stripe may be skipped only when EVERY candidate misses."""
+    if kind in _BYTES_KINDS:
+        raw = value.encode() if isinstance(value, str) else bytes(value)
+        return [murmur3_hash64(raw)]
+    if kind in _INT_KINDS or kind == _TS_KIND:
+        # timestamp probes take epoch-milliseconds (the writer's unit)
+        v = int(value) & _M64
+        return [murmur3_hash64(struct.pack("<Q", v)), wang_long_hash(v)]
+    if kind in _FLOAT_KINDS:
+        bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
+        return [murmur3_hash64(struct.pack("<Q", bits)), wang_long_hash(bits)]
+    return []
+
+
+class BloomFilterIndex:
+    """Parsed BloomFilterIndex stream: one filter per row group."""
+
+    __slots__ = ("filters",)
+
+    def __init__(self, filters: list[tuple[int, int, np.ndarray]]):
+        self.filters = filters  # [(num_hash_functions, num_bits, words)]
+
+    @classmethod
+    def parse(cls, raw: bytes | memoryview) -> "BloomFilterIndex":
+        """Handles both observed on-disk layouts:
+
+        - the legacy Hive layout in the golden corpus —
+          ``expectedEntries=1 (varint), fpp=2 (fixed64 double), bitset=3
+          (repeated varint uint64)`` with k and the modulo base re-derived
+          exactly as Hive's BloomFilter constructor computed them:
+          ``numBits = floor(-n*ln(fpp)/ln(2)^2)`` (unpadded),
+          ``k = max(1, round(numBits/n * ln 2))``;
+        - orc.proto:92-96 — ``numHashFunctions=1 (varint), bitset=2
+          (repeated fixed64), utf8bitset=3 (bytes)``, modulo the stored
+          bitset's bit count.
+
+        Distinguished by field 3's wire type: varint ints mean the legacy
+        bitset, bytes mean utf8bitset.
+        """
+        from .orcfile import _pb_fields, _pb_one
+
+        out: list[tuple[int, int, np.ndarray]] = []
+        for bf in _pb_fields(raw).get(1, []):
+            f = _pb_fields(bf)
+            f3 = f.get(3)
+            if f3 and isinstance(f3[0], int):  # legacy layout
+                n = max(1, _pb_one(f, 1, 1))
+                fpp_bits = _pb_one(f, 2)
+                fpp = (struct.unpack("<d", struct.pack("<Q", fpp_bits))[0]
+                       if fpp_bits is not None else 0.05)
+                words = np.array(f3, dtype=np.uint64)
+                nbits = int(-n * math.log(fpp) / (math.log(2) ** 2))
+                nbits = min(max(1, nbits), len(words) * 64)
+                k = max(1, round(nbits / n * math.log(2)))
+            elif f3 is not None:  # BLOOM_FILTER_UTF8
+                k = _pb_one(f, 1, 0)
+                words = np.frombuffer(bytes(f3[0]), dtype="<u8")
+                nbits = len(words) * 64
+            else:  # orc.proto BLOOM_FILTER: repeated fixed64
+                k = _pb_one(f, 1, 0)
+                words = np.array(f.get(2, []), dtype=np.uint64)
+                nbits = len(words) * 64
+            out.append((int(k), nbits, words))
+        return cls(out)
+
+    def might_contain(self, hashes: list[int]) -> bool:
+        """True if ANY row group's filter may contain the value under ANY
+        candidate hash — i.e. the stripe cannot be skipped. Missing,
+        empty, or all-zero filters are inconclusive (never skip on absent
+        evidence)."""
+        if not self.filters or not hashes:
+            return True
+        for k, nbits, words in self.filters:
+            if k <= 0 or nbits <= 0 or len(words) == 0 or not words.any():
+                return True
+            for h in hashes:
+                if self._test_one(h, k, nbits, words):
+                    return True
+        return False
+
+    @staticmethod
+    def _test_one(h: int, k: int, nbits: int, words: np.ndarray) -> bool:
+        # Java int arithmetic: signed 32-bit wraparound, ~ when negative
+        h1 = h & 0xFFFFFFFF
+        h2 = (h >> 32) & 0xFFFFFFFF
+        for i in range(1, k + 1):
+            combined = (h1 + i * h2) & 0xFFFFFFFF
+            if combined & 0x80000000:
+                combined = (~combined) & 0xFFFFFFFF
+            pos = combined % nbits
+            if not (int(words[pos >> 6]) >> (pos & 63)) & 1:
+                return False
+        return True

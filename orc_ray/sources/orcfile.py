@@ -529,6 +529,65 @@ class ORCFile:
         tz = _pb_one(self._stripe_footer(i), 3)
         return bytes(tz).decode() if tz is not None else None
 
+    def bloom_index(self, i: int, column: str):
+        """Parsed BLOOM_FILTER / BLOOM_FILTER_UTF8 index for ``column`` in
+        stripe ``i``, or None when the stripe carries none.  Touches only
+        the stripe's index region (a few KB at the stripe head) — the
+        point of blooms is skipping the DATA region unread."""
+        from .orcbloom import BloomFilterIndex
+
+        root = self.schema
+        colid = None
+        if root.kind == 12:
+            for nm, child in zip(root.field_names, root.children):
+                if nm == column:
+                    colid = child.column
+                    break
+        elif column == "_value":
+            colid = root.column
+        if colid is None:
+            return None
+        st = self.stripes[i]
+        sf = self._stripe_footer(i)
+        off = st.offset
+        for sbuf in sf.get(1, []):
+            f = _pb_fields(sbuf)
+            kind = _pb_one(f, 1, 0)
+            ln = _pb_one(f, 3, 0)
+            if kind in (7, 8) and _pb_one(f, 2, 0) == colid:
+                return BloomFilterIndex.parse(_decompress(
+                    self._data[off: off + ln], self.compression))
+            off += ln
+        return None
+
+    def bloom_might_contain(self, i: int, column: str, value) -> bool:
+        """Equality-lookup stripe test: False means the stripe's bloom
+        filters PROVE no row can equal ``value`` (safe to skip unread);
+        True means maybe (no filter, unsupported type, or a hit).
+        Timestamp columns are probed only when the stripe footer records a
+        writerTimezone (pass epoch-milliseconds); without one the writer's
+        hash frame is unrecoverable and skipping would lose data."""
+        from .orcbloom import probe_hashes
+
+        root = self.schema
+        kind = None
+        if root.kind == 12:
+            for nm, child in zip(root.field_names, root.children):
+                if nm == column:
+                    kind = child.kind
+                    break
+        elif column == "_value":
+            kind = root.kind
+        if kind is None:
+            return True
+        if kind == 9 and self.writer_timezone(i) is None:
+            return True
+        hashes = probe_hashes(value, kind)
+        if not hashes:
+            return True
+        idx = self.bloom_index(i, column)
+        return idx.might_contain(hashes) if idx is not None else True
+
     def read_stripe(self, i: int, columns: list[str] | None = None) -> pa.Table:
         st = self.stripes[i]
         sf = self._stripe_footer(i)
@@ -880,7 +939,11 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
     stripes whose file-tail statistics prove an empty intersection are
     skipped without reading a single payload byte (the foreign-file
     analogue of ``decode_dataset_filtered``'s manifest-stats pushdown);
-    surviving stripes filter exactly, vectorized."""
+    surviving stripes filter exactly, vectorized.  Point predicates
+    (lo == hi) additionally probe the stripes' BLOOM_FILTER index streams
+    when the writer attached them — an equality lookup then reads only a
+    few KB of index per non-matching stripe (the foreign-file analogue of
+    the native ``point_lookup``)."""
     import ray
     import ray.data
 
@@ -906,12 +969,15 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
         f = ORCFile(p)
         schema = f.arrow_schema()
         stats = f.stripe_statistics() if predicate else []
+        point = predicate is not None and predicate[1] == predicate[2]
         for i in range(len(f.stripes)):
             if predicate and i < len(stats):
                 s = stats[i].get(pcol)
                 if s is not None and s[0] is not None and s[1] is not None \
                         and (s[1] < predicate[1] or s[0] > predicate[2]):
                     continue  # stats prove no row can match
+            if point and not f.bloom_might_contain(i, pcol, predicate[1]):
+                continue  # bloom filters prove no row can match
             work.append({"path": p, "stripe": i})
         if not f.stripes:
             t = f.read(columns=want)

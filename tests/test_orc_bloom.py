@@ -1,0 +1,142 @@
+"""Foreign-ORC bloom-filter probing against the golden over1k_bloom.orc.
+
+The probing scheme (Hive Murmur3 hash64 over value bytes, Java-int
+double hashing modulo the UNPADDED optimal bit count) was recovered
+empirically from this file — these tests pin it: every value actually
+present must probe positive (blooms have no false negatives), and a
+point lookup through read_orc must skip bloom-missing stripes while
+returning exactly the matching rows.
+"""
+
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+
+from orc_ray.sources.orcbloom import (
+    BloomFilterIndex, murmur3_hash64, probe_hashes, wang_long_hash,
+)
+from orc_ray.sources.orcfile import ORCFile, read_orc
+
+GOLDEN = "/root/reference/examples/over1k_bloom.orc"
+
+
+@pytest.fixture(scope="module")
+def golden():
+    f = ORCFile(GOLDEN)
+    return f, f.read()
+
+
+def _column_kinds(f):
+    return {nm: ch.kind for nm, ch in zip(f.schema.field_names,
+                                          f.schema.children)}
+
+
+def test_bloom_no_false_negatives_per_type(golden):
+    """100% hit rate for present values on every bloom-bearing column of
+    a supported type (int8..int64, float, double, string)."""
+    f, t = golden
+    kinds = _column_kinds(f)
+    row0 = f.stripes[0].number_of_rows
+    checked = 0
+    for nm in f.schema.field_names:
+        kind = kinds[nm]
+        if kind not in (1, 2, 3, 4, 5, 6, 7):
+            continue
+        for si, sl in ((0, t.column(nm).slice(0, row0)),
+                       (1, t.column(nm).slice(row0))):
+            idx = f.bloom_index(si, nm)
+            if idx is None:
+                continue
+            vals = [v for v in sl.to_pylist() if v is not None]
+            assert all(idx.might_contain(probe_hashes(v, kind))
+                       for v in vals), f"false negative in {nm} stripe {si}"
+            checked += len(vals)
+    assert checked > 10_000  # 8 typed columns x ~1049 rows x 2 stripes
+
+
+def test_bloom_legacy_layout_parse(golden):
+    """The golden file's 2015-era layout: k and numBits re-derived from
+    (expectedEntries=10000, fpp=0.05) -> k=4, modulo base 62352 (the
+    unpadded optimal bit count, NOT the 62400-bit word-aligned bitset)."""
+    f, _ = golden
+    idx = f.bloom_index(0, "_col3")
+    k, nbits, words = idx.filters[0]
+    assert (k, nbits, len(words)) == (4, 62352, 975)
+
+
+def test_bloom_skips_absent_value(golden):
+    """Values absent from the whole file must be skippable in both
+    stripes (false positives allowed in principle; these probes miss)."""
+    f, t = golden
+    present = set(t.column("_col3").to_pylist())
+    absent = [v for v in range(10**9, 10**9 + 2000) if v not in present]
+    skipped = sum(
+        not f.bloom_might_contain(si, "_col3", v)
+        for si in range(len(f.stripes)) for v in absent[:200]
+    )
+    # fpp=0.05 per filter; expect the vast majority of probes to miss
+    assert skipped > 0.8 * 2 * 200
+
+
+def test_bloom_empty_filter_is_inconclusive(golden):
+    """The boolean column's filter is all zeros although the column holds
+    data — an empty bitset must never prove absence."""
+    f, _ = golden
+    idx = f.bloom_index(0, "_col6")
+    assert idx is not None
+    assert not idx.filters[0][2].any()
+    assert idx.might_contain([murmur3_hash64(b"x")])
+    # unsupported kinds are inconclusive end-to-end too
+    assert f.bloom_might_contain(0, "_col6", True)
+
+
+def test_bloom_timestamp_needs_writer_timezone(golden):
+    """No writerTimezone in this legacy file -> timestamp probes must be
+    inconclusive (the writer hashed local-JVM wall time; skipping on a
+    guessed frame would drop data)."""
+    f, _ = golden
+    assert f.writer_timezone(0) is None
+    assert f.bloom_might_contain(0, "_col8", 0)
+
+
+def test_point_lookup_read_orc_bloom_skip(ray_session, golden):
+    """End-to-end: a point predicate through read_orc returns exactly the
+    matching rows, and an absent point value prunes every stripe."""
+    f, t = golden
+    target = t.column("_col3")[0].as_py()
+    ds = read_orc(GOLDEN, columns=["_col3", "_col7"],
+                  predicate=("_col3", target, target))
+    got = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    want = t.filter(pc.equal(t.column("_col3"), target))
+    assert got.num_rows == want.num_rows > 0
+    assert sorted(got.column("_col7").to_pylist()) == \
+        sorted(want.column("_col7").to_pylist())
+
+    absent = next(v for v in range(10**9, 10**9 + 100)
+                  if not f.bloom_might_contain(0, "_col3", v)
+                  and not f.bloom_might_contain(1, "_col3", v))
+    ds0 = read_orc(GOLDEN, columns=["_col3"],
+                   predicate=("_col3", absent, absent))
+    assert ds0.count() == 0
+
+
+def test_murmur3_hash64_blocks_and_tail():
+    """Block path (>=8 bytes), tail path, and empty input all disagree —
+    and the function is deterministic across calls."""
+    a = murmur3_hash64(b"hello, bloom!")   # 13 bytes: 1 block + 5 tail
+    b = murmur3_hash64(b"hello, bloom?")
+    c = murmur3_hash64(b"")
+    assert a != b != c
+    assert a == murmur3_hash64(b"hello, bloom!")
+    assert wang_long_hash(0) != wang_long_hash(1)
+
+
+def test_probe_hashes_kinds():
+    assert probe_hashes("abc", 7) == [murmur3_hash64(b"abc")]
+    assert len(probe_hashes(42, 4)) == 2       # murmur-le8 + wang
+    assert len(probe_hashes(1.5, 6)) == 2
+    assert probe_hashes(True, 0) == []          # boolean: unsupported
+    assert probe_hashes(None, 14) == []         # decimal: unsupported
