@@ -298,15 +298,22 @@ def main() -> None:
     # (quiet windows read 15-22 GB/s, contended ones <1); recording it in
     # the same JSON line lets a single-shot measurement be read against
     # the quiet-window numbers in BASELINE.md instead of as engine drift.
+    # Same methodology as memcpy_control(): preallocated src+dst,
+    # copyto into existing pages, read+write bytes both counted. (An
+    # earlier version timed `arr.copy()` on a fresh 200MB array, which
+    # measures page-fault/zeroing cost, not memcpy — it read 4-8x lower
+    # than the true ceiling and made quiet windows look contended.)
     import numpy as _np
     _a = _np.ones(200_000_000, dtype=_np.uint8)
+    _b = _np.empty_like(_a)
+    _np.copyto(_b, _a)  # fault in both buffers before timing
     _best = float("inf")
     for _ in range(3):
         _t0 = time.perf_counter()
-        _a.copy()
+        _np.copyto(_b, _a)
         _best = min(_best, time.perf_counter() - _t0)
-    box_memcpy = _a.nbytes / _best / 1e9
-    del _a
+    box_memcpy = _a.nbytes * 2 / _best / 1e9
+    del _a, _b
 
     out = run_headline(args.sf_dir, args.cpus,
                        tuple(p for p in phases if p != "queries"),
