@@ -421,9 +421,16 @@ class ORCFile:
             data = bytes(path_or_data)
             self.path = None
         else:
+            # memory-map instead of fh.read(): a read_orc stripe task
+            # constructs an ORCFile and touches ONLY its stripe's byte
+            # ranges plus the tail — an eager whole-file read made every
+            # stripe task pay O(file size), i.e. O(stripes x file size)
+            # aggregate read amplification per file
+            import mmap
+
             self.path = path_or_data
             with open(path_or_data, "rb") as fh:
-                data = fh.read()
+                data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         self._data = data
         if len(data) < 4 or data[:3] != b"ORC":
             raise OrcFormatError("missing ORC magic")
