@@ -423,6 +423,13 @@ def minhash_dedup_pairs(ds, threshold: float = 0.8,
         cand = cand.map_batches(_with_pair_part, batch_format="pyarrow") \
             .groupby("pair_part").map_groups(_dedupe_pair_partition,
                                              batch_format="pyarrow")
+        # materialize the (metadata-sized by contract) pair set: with ZERO
+        # candidates the groupby emits no transformed block and the raw
+        # band schema would reach the join ("no field doc_a"); this also
+        # pins the join input instead of re-running the band subtree
+        cand = cand.materialize()
+        if cand.count() == 0:
+            return rd.from_arrow(_pairs_table([], [], []))
         j1 = cand.join(
             sketches, "inner", num_partitions=num_partitions,
             on=("doc_a",), right_on=("doc_id",),
