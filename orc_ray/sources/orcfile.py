@@ -934,13 +934,20 @@ class _StripeDecoder:
 # ---------------------------------------------------------------------------
 # Ray Data API
 
+# above this many files, read_orc's tail-parse planning runs as its own
+# distributed map_batches stage instead of a serial driver loop
+_PLAN_INLINE_MAX = 16
+
 
 def read_orc(paths: str | list[str], columns: list[str] | None = None,
              concurrency: int | None = None,
              predicate: tuple | None = None):
     """Read Apache ORC file(s) as a ``ray.data.Dataset``, one decode task
-    per stripe.  Tail parse (metadata only) happens on the driver; stripe
-    payload decode is distributed.
+    per stripe.  Tail parse (metadata only) runs on the driver for small
+    file lists and is itself distributed above ``_PLAN_INLINE_MAX`` paths
+    — at lake scale (100k+ files) a serial driver loop over tails would
+    be the bottleneck, so planning becomes a ``map_batches`` stage that
+    streams (path, stripe) work items straight into the decode stage.
 
     ``predicate=(column, lo, hi)`` keeps rows with lo <= column <= hi:
     stripes whose file-tail statistics prove an empty intersection are
@@ -970,13 +977,15 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
         t = t.filter(mask)
         return t.select(columns) if columns is not None else t
 
-    work: list[dict] = []
-    schema = None
-    for p in paths:
+    def _plan_one(p: str) -> list[dict]:
+        """Tail-only planning for one file: stripe work items after
+        stats/bloom pruning.  stripe == -1 is the typed-empty sentinel (a
+        stripeless file, or schema anchoring when everything was
+        pruned)."""
         f = ORCFile(p)
-        schema = f.arrow_schema()
         stats = f.stripe_statistics() if predicate else []
         point = predicate is not None and predicate[1] == predicate[2]
+        items: list[dict] = []
         for i in range(len(f.stripes)):
             if predicate and i < len(stats):
                 s = stats[i].get(pcol)
@@ -985,25 +994,47 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
                     continue  # stats prove no row can match
             if point and not f.bloom_might_contain(i, pcol, predicate[1]):
                 continue  # bloom filters prove no row can match
-            work.append({"path": p, "stripe": i})
-        if not f.stripes:
-            t = f.read(columns=want)
-            return ray.data.from_arrow(_filter_exact(t) if predicate else t)
-    if not work:  # every stripe pruned
-        empty = pa.table({n: pa.array([], type=t)
-                          for n, t in zip(schema.names, schema.types)})
-        if columns is not None:
-            empty = empty.select(columns)
-        return ray.data.from_arrow(empty)
-    items = ray.data.from_items(work)
+            items.append({"path": p, "stripe": i})
+        return items
 
     def _decode(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
             fl = ORCFile(row["path"])
-            t = fl.read_stripe(row["stripe"], want)
+            if row["stripe"] < 0:  # typed-empty sentinel
+                t = fl.arrow_schema().empty_table()
+                if want is not None:
+                    t = t.select(want)
+            else:
+                t = fl.read_stripe(row["stripe"], want)
             tables.append(_filter_exact(t) if predicate else t)
         return pa.concat_tables(tables)
+
+    if len(paths) > _PLAN_INLINE_MAX:
+        # distributed planning; one sentinel item anchors the output
+        # schema even when pruning removes every stripe
+        def _plan_batch(b: pa.Table) -> pa.Table:
+            items: list[dict] = []
+            for p in b.column("path").to_pylist():
+                items.extend(_plan_one(p))
+            return pa.table({
+                "path": pa.array([it["path"] for it in items], pa.string()),
+                "stripe": pa.array([it["stripe"] for it in items],
+                                   pa.int64()),
+            })
+        plan_src = ray.data.from_arrow(
+            pa.table({"path": pa.array(paths, pa.string())}))
+        planned = plan_src.map_batches(_plan_batch, batch_format="pyarrow",
+                                       batch_size=32)
+        sentinel = ray.data.from_items([{"path": paths[0], "stripe": -1}])
+        items = planned.union(sentinel)
+    else:
+        work: list[dict] = []
+        for p in paths:
+            work.extend(_plan_one(p))
+        if not work:  # every stripe pruned (or all files stripeless)
+            work = [{"path": paths[0], "stripe": -1}]
+        items = ray.data.from_items(work)
 
     return items.map_batches(_decode, batch_format="pyarrow", batch_size=1,
                              concurrency=concurrency)

@@ -142,3 +142,46 @@ def test_cli_import_orc(tmp_path, capsys):
     assert main(["import-orc", dst, "--out", out]) == 0
     capsys.readouterr()
     assert pq.read_table(out).num_rows == 10
+
+
+def test_read_orc_many_files_distributed_plan(ray_session, tmp_path):
+    """Above _PLAN_INLINE_MAX paths the tail-parse planning itself runs as
+    a map_batches stage; result must equal the concatenation, pruning must
+    still apply per file, and all-pruned many-file reads keep a typed
+    schema via the sentinel."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources import orcfile as of
+
+    n_files, per = of._PLAN_INLINE_MAX + 4, 50
+    paths, parts = [], []
+    for fi in range(n_files):
+        lo = fi * per
+        t = pa.table({
+            "k": pa.array(range(lo, lo + per), pa.int64()),
+            "v": pa.array([f"s{j}" for j in range(lo, lo + per)]),
+        })
+        dst = str(tmp_path / f"f{fi:03d}.orc")
+        paorc.write_table(t, dst, compression="zlib")
+        paths.append(dst)
+        parts.append(t)
+    full = pa.concat_tables(parts)
+
+    got = pa.concat_tables(read_orc(paths).iter_batches(
+        batch_format="pyarrow", batch_size=None))
+    assert got.sort_by("k").equals(full.sort_by("k"))
+
+    # range predicate spanning two files: stats prune the other 18 tails
+    ds = read_orc(paths, predicate=("k", 75, 125))
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    want = full.filter(pc.and_(pc.greater_equal(full.column("k"), 75),
+                               pc.less_equal(full.column("k"), 125)))
+    assert got.sort_by("k").equals(want.sort_by("k"))
+
+    # all pruned: sentinel keeps the projected schema
+    ds0 = read_orc(paths, columns=["v"], predicate=("k", 10**9, 10**9 + 1))
+    tabs = list(ds0.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert ds0.count() == 0
+    if tabs:
+        assert pa.concat_tables(tabs).column_names == ["v"]
