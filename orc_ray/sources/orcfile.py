@@ -595,21 +595,29 @@ class ORCFile:
         idx = self.bloom_index(i, column)
         return idx.might_contain(hashes) if idx is not None else True
 
-    def read_stripe(self, i: int, columns: list[str] | None = None) -> pa.Table:
-        st = self.stripes[i]
-        sf = self._stripe_footer(i)
-        encodings: dict[int, tuple[int, int]] = {}
-        for ci, cbuf in enumerate(sf.get(2, [])):
-            f = _pb_fields(cbuf)
-            encodings[ci] = (_pb_one(f, 1, 0), _pb_one(f, 2, 0))
+    def _wanted_columns(self, columns: list[str] | None) -> set[int]:
         root = self.schema
         if root.kind == 12 and columns is not None:
             wanted: set[int] = {root.column}
             for name, child in zip(root.field_names, root.children):
                 if name in columns:
                     wanted.update(child.subtree_columns())
-        else:
-            wanted = set(root.subtree_columns())
+            return wanted
+        return set(root.subtree_columns())
+
+    def _stripe_parts(self, i: int, wanted: set[int],
+                      seek: dict | None = None):
+        """(streams, encodings, base_epoch) for stripe ``i``.  ``seek``
+        maps (col, kind) -> (chunk_offset, decompressed_offset): those
+        streams are decompressed FROM the chunk offset only (chunked
+        compression headers are self-contained) and sliced at the
+        decompressed offset — the byte half of row-index positions."""
+        st = self.stripes[i]
+        sf = self._stripe_footer(i)
+        encodings: dict[int, tuple[int, int]] = {}
+        for ci, cbuf in enumerate(sf.get(2, [])):
+            f = _pb_fields(cbuf)
+            encodings[ci] = (_pb_one(f, 1, 0), _pb_one(f, 2, 0))
         streams: dict[tuple[int, int], bytes] = {}
         off = st.offset
         for sbuf in sf.get(1, []):
@@ -618,8 +626,17 @@ class ORCFile:
             col = _pb_one(f, 2, 0)
             ln = _pb_one(f, 3, 0)
             if kind in (0, 1, 2, 3, 4, 5) and col in wanted:
-                streams[(col, kind)] = _decompress(
-                    self._data[off: off + ln], self.compression)
+                pos = seek.get((col, kind)) if seek else None
+                if pos is None:
+                    streams[(col, kind)] = _decompress(
+                        self._data[off: off + ln], self.compression)
+                elif self.compression == 0:
+                    streams[(col, kind)] = bytes(
+                        self._data[off + pos[0]: off + ln])
+                else:
+                    buf = _decompress(
+                        self._data[off + pos[0]: off + ln], self.compression)
+                    streams[(col, kind)] = buf[pos[1]:]
             off += ln
         tzname = _pb_one(sf, 3)
         base_epoch = TIMESTAMP_BASE_SECONDS
@@ -627,8 +644,10 @@ class ORCFile:
             from zoneinfo import ZoneInfo
             base_epoch = int(datetime.datetime(
                 2015, 1, 1, tzinfo=ZoneInfo(bytes(tzname).decode())).timestamp())
-        dec = _StripeDecoder(streams, encodings, base_epoch)
-        n = st.number_of_rows
+        return streams, encodings, base_epoch
+
+    def _assemble(self, dec, n: int, columns: list[str] | None) -> pa.Table:
+        root = self.schema
         if root.kind == 12:
             names = root.field_names
             kids = root.children
@@ -642,6 +661,169 @@ class ORCFile:
                 raise OrcUnsupportedError("null rows at root struct")
             return pa.table(dict(zip(names, arrays)))
         return pa.table({"_value": dec.decode(root, n)})
+
+    def read_stripe(self, i: int, columns: list[str] | None = None) -> pa.Table:
+        wanted = self._wanted_columns(columns)
+        streams, encodings, base_epoch = self._stripe_parts(i, wanted)
+        dec = _StripeDecoder(streams, encodings, base_epoch)
+        return self._assemble(dec, self.stripes[i].number_of_rows, columns)
+
+    def row_index(self, i: int, colid: int):
+        """Parsed ROW_INDEX for one column of stripe ``i``: a list of
+        (positions, (min, max, num_values, has_null)) per row group —
+        positions per proto RowIndexEntry (orc.proto:180-183; the
+        reference exposes the same stream via cursor.go:178-196 but never
+        consumes positions).  None when the stripe carries no index."""
+        st = self.stripes[i]
+        sf = self._stripe_footer(i)
+        kind_of = None
+        for t in _iter_types(self.schema):
+            if t.column == colid:
+                kind_of = t.kind
+                break
+        off = st.offset
+        for sbuf in sf.get(1, []):
+            f = _pb_fields(sbuf)
+            kind = _pb_one(f, 1, 0)
+            ln = _pb_one(f, 3, 0)
+            if kind == 6 and _pb_one(f, 2, 0) == colid:
+                raw = _decompress(self._data[off: off + ln], self.compression)
+                out = []
+                for ebuf in _pb_fields(raw).get(1, []):
+                    e = _pb_fields(ebuf)
+                    pos = _pb_packed_uints(e, 1)
+                    stats = (None, None, 0, False)
+                    sbuf2 = _pb_one(e, 2)
+                    if sbuf2 is not None and kind_of is not None:
+                        cs = _pb_fields(sbuf2)
+                        lo, hi = _stats_min_max(cs, kind_of)
+                        stats = (lo, hi, _pb_one(cs, 1, 0),
+                                 bool(_pb_one(cs, 10, 0)))
+                    out.append((pos, stats))
+                return out
+            off += ln
+        return None
+
+    def _seek_plan(self, i: int, columns: list[str] | None, group: int):
+        """(seek_bytes, skips) to start decoding stripe ``i`` at row group
+        ``group``: per-stream (chunk, decompressed-offset) byte positions
+        and per-stream value/bit skip counts, from each needed column's
+        ROW_INDEX positions consumed in the writer's recorder order
+        (present bitfield first, then the kind's streams — the order
+        treewriter.go:69-90 emits them in).  Raises OrcUnsupportedError
+        for kinds/encodings without seek support (nested types)."""
+        st = self.stripes[i]
+        sf = self._stripe_footer(i)
+        encodings: dict[int, tuple[int, int]] = {}
+        for ci, cbuf in enumerate(sf.get(2, [])):
+            f = _pb_fields(cbuf)
+            encodings[ci] = (_pb_one(f, 1, 0), _pb_one(f, 2, 0))
+        has_stream: set[tuple[int, int]] = set()
+        for sbuf in sf.get(1, []):
+            f = _pb_fields(sbuf)
+            has_stream.add((_pb_one(f, 2, 0), _pb_one(f, 1, 0)))
+        root = self.schema
+        cols = []
+        if root.kind == 12:
+            for nm, ch in zip(root.field_names, root.children):
+                if columns is None or nm in columns:
+                    cols.append(ch)
+            cols.append(root)  # root PRESENT (if any) must seek too
+        else:
+            cols.append(root)
+        nc = 2 if self.compression else 1  # buffered positions per stream
+        seek: dict[tuple[int, int], tuple[int, int]] = {}
+        skips: dict[tuple[int, int], int] = {}
+
+        def layout(t: OrcType) -> list[tuple[int, str]]:
+            k, enc = t.kind, encodings.get(t.column, (_ENC_DIRECT, 0))[0]
+            out = []
+            if (t.column, _KIND_PRESENT) in has_stream:
+                out.append((_KIND_PRESENT, "bitfield"))
+            if k == 12:
+                if t is not root:
+                    raise OrcUnsupportedError("seek into nested struct")
+                return out
+            if k == 0:
+                out.append((_KIND_DATA, "bitfield"))
+            elif k == 1:
+                out.append((_KIND_DATA, "byterle"))
+            elif k in (2, 3, 4, 15):
+                out.append((_KIND_DATA, "intrle"))
+            elif k in (5, 6):
+                out.append((_KIND_DATA, "raw"))
+            elif k in (7, 8, 16, 17):
+                if enc in (_ENC_DICTIONARY, _ENC_DICTIONARY_V2):
+                    out.append((_KIND_DATA, "intrle"))
+                else:
+                    out.append((_KIND_DATA, "raw"))
+                    out.append((_KIND_LENGTH, "intrle"))
+            elif k == 9:
+                out.append((_KIND_DATA, "intrle"))
+                out.append((_KIND_SECONDARY, "intrle"))
+            elif k == 14:
+                out.append((_KIND_DATA, "raw"))
+                out.append((_KIND_SECONDARY, "intrle"))
+            else:
+                raise OrcUnsupportedError(f"seek into type kind {k}")
+            return out
+
+        for t in cols:
+            lay = layout(t)
+            if not lay:
+                continue
+            ri = self.row_index(i, t.column)
+            if ri is None or group >= len(ri):
+                raise OrcUnsupportedError("missing ROW_INDEX")
+            pos, _ = ri[group]
+            p = 0
+            for kind, cls in lay:
+                need = nc + {"raw": 0, "intrle": 1,
+                             "byterle": 1, "bitfield": 2}[cls]
+                if p + need > len(pos):
+                    raise OrcUnsupportedError("short positions list")
+                vals = pos[p: p + need]
+                p += need
+                byte_pos = (vals[0], vals[1]) if self.compression else \
+                    (vals[0], 0)
+                seek[(t.column, kind)] = byte_pos
+                if cls == "intrle" or cls == "byterle":
+                    skips[(t.column, kind)] = int(vals[nc])
+                elif cls == "bitfield":
+                    skips[(t.column, kind)] = int(vals[nc]) * 8 + int(vals[nc + 1])
+        return seek, skips
+
+    def read_rows(self, i: int, row_lo: int, row_hi: int,
+                  columns: list[str] | None = None) -> pa.Table:
+        """Rows [row_lo, row_hi) of stripe ``i`` (stripe-relative) via
+        ROW_INDEX seek: decoding starts at the enclosing row-group
+        boundary — streams are decompressed from the recorded chunk
+        offset and decoded from the recorded run position — instead of at
+        the stripe start.  Falls back to a full-stripe decode + slice
+        when the file has no usable index or a selected column's type has
+        no seek support (nested types)."""
+        st = self.stripes[i]
+        n = st.number_of_rows
+        row_lo = max(0, row_lo)
+        row_hi = min(row_hi, n)
+        if row_hi <= row_lo:
+            return self.read_stripe(i, columns).slice(0, 0)
+        stride = self.row_index_stride
+        g0 = row_lo // stride if stride else 0
+        if g0 == 0:
+            return self.read_stripe(i, columns).slice(row_lo,
+                                                      row_hi - row_lo)
+        try:
+            seek, skips = self._seek_plan(i, columns, g0)
+        except OrcUnsupportedError:
+            return self.read_stripe(i, columns).slice(row_lo,
+                                                      row_hi - row_lo)
+        wanted = self._wanted_columns(columns)
+        streams, encodings, base_epoch = self._stripe_parts(i, wanted, seek)
+        dec = _SeekStripeDecoder(streams, encodings, base_epoch, skips)
+        n_dec = row_hi - g0 * stride
+        t = self._assemble(dec, n_dec, columns)
+        return t.slice(row_lo - g0 * stride)
 
     def read(self, columns: list[str] | None = None) -> pa.Table:
         if not self.stripes:
@@ -698,6 +880,12 @@ def _arrow_type(t: OrcType) -> pa.DataType:
     raise OrcUnsupportedError(f"type kind {k}")
 
 
+def _iter_types(t: OrcType):
+    yield t
+    for ch in t.children:
+        yield from _iter_types(ch)
+
+
 def _validity_buffer(present: np.ndarray):
     return pa.py_buffer(np.packbits(present, bitorder="little").tobytes())
 
@@ -721,11 +909,17 @@ class _StripeDecoder:
             return rle2.decode(buf, signed, n)
         return rle1.decode(buf, signed, n)
 
+    def _bools(self, col: int, kind: int, n: int) -> np.ndarray:
+        return byterle.decode_bools(self.streams.get((col, kind), b""), n)
+
+    def _bytes(self, col: int, n: int) -> np.ndarray:
+        return byterle.decode_bytes(
+            self.streams.get((col, _KIND_DATA), b""), n)
+
     def present(self, col: int, n: int) -> np.ndarray:
-        buf = self.streams.get((col, _KIND_PRESENT))
-        if buf is None or n == 0:
+        if (col, _KIND_PRESENT) not in self.streams or n == 0:
             return np.ones(n, dtype=bool)
-        return byterle.decode_bools(buf, n)
+        return self._bools(col, _KIND_PRESENT, n)
 
     def decode(self, t: OrcType, n: int) -> pa.Array:
         """Decode column subtree ``t`` with ``n`` value slots at this level."""
@@ -741,10 +935,10 @@ class _StripeDecoder:
             return pa.array(full, type=patype, mask=~present if has_null else None)
 
         if k == 0:
-            bits = byterle.decode_bools(self.streams.get((t.column, _KIND_DATA), b""), nv)
+            bits = self._bools(t.column, _KIND_DATA, nv)
             return scatter(bits, bool, pa.bool_())
         if k == 1:
-            raw = byterle.decode_bytes(self.streams.get((t.column, _KIND_DATA), b""), nv)
+            raw = self._bytes(t.column, nv)
             return scatter(raw.view(np.int8), np.int8, pa.int8())
         if k in (2, 3, 4):
             vals = self._ints(t.column, _KIND_DATA, nv, signed=True)
@@ -931,12 +1125,79 @@ class _StripeDecoder:
             field_names=[str(i) for i in range(len(t.children))] + ["_null"])
 
 
+class _SeekStripeDecoder(_StripeDecoder):
+    """_StripeDecoder over streams byte-sliced at row-index positions.
+
+    The byte half of a position lands at a run-header boundary inside the
+    stream; the remaining half says how far INTO that run the row group
+    starts — ``skips`` carries it per (col, kind): values for RLE streams,
+    bits (bytes*8 + bit) for bitfield streams.  Each decode reads
+    skip + n entries from the sliced stream and drops the skip prefix;
+    dictionary-global streams (DICT_DATA and a dict column's LENGTH) have
+    no positions, are loaded whole, and never appear in ``skips``."""
+
+    def __init__(self, streams, encodings, base_epoch, skips):
+        super().__init__(streams, encodings, base_epoch)
+        self.skips = skips
+
+    def _ints(self, col, kind, n, signed):
+        s = self.skips.get((col, kind), 0)
+        vals = super()._ints(col, kind, n + s, signed)
+        return vals[s:] if s else vals
+
+    def _bools(self, col, kind, n):
+        s = self.skips.get((col, kind), 0)
+        bits = super()._bools(col, kind, n + s)
+        return bits[s:] if s else bits
+
+    def _bytes(self, col, n):
+        s = self.skips.get((col, _KIND_DATA), 0)
+        raw = super()._bytes(col, n + s)
+        return raw[s:] if s else raw
+
+
 # ---------------------------------------------------------------------------
 # Ray Data API
 
 # above this many files, read_orc's tail-parse planning runs as its own
 # distributed map_batches stage instead of a serial driver loop
 _PLAN_INLINE_MAX = 16
+
+
+def _read_stripe_pruned(fl: ORCFile, i: int, want, predicate) -> pa.Table:
+    """Row-group-level pushdown inside one stripe-decode task: prune row
+    groups whose ROW_INDEX statistics exclude [lo, hi], then decode only
+    the surviving contiguous span via ``read_rows`` (seeked at the first
+    candidate group's recorded positions).  Exact filtering still happens
+    in the caller — this only bounds what gets decoded."""
+    pcol, lo, hi = predicate
+    stride = fl.row_index_stride
+    root = fl.schema
+    colid = None
+    if root.kind == 12:
+        for nm, ch in zip(root.field_names, root.children):
+            if nm == pcol:
+                colid = ch.column
+                break
+    if not stride or colid is None:
+        return fl.read_stripe(i, want)
+    ri = fl.row_index(i, colid)
+    nrows = fl.stripes[i].number_of_rows
+    if not ri:
+        return fl.read_stripe(i, want)
+    keep = []
+    for g, (_, (gmin, gmax, _, _)) in enumerate(ri):
+        if gmin is not None and gmax is not None and (gmax < lo or gmin > hi):
+            continue  # stats prove no row in this group can match
+        keep.append(g)
+    if not keep:
+        t = fl.arrow_schema().empty_table()
+        return t.select(want) if want is not None else t
+    row_lo = keep[0] * stride
+    row_hi = min(nrows, (keep[-1] + 1) * stride)
+    if row_lo == 0 and row_hi == nrows:
+        return fl.read_stripe(i, want)
+    return fl.read_rows(i, row_lo, row_hi, want)
 
 
 def read_orc(paths: str | list[str], columns: list[str] | None = None,
@@ -1005,6 +1266,8 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
                 t = fl.arrow_schema().empty_table()
                 if want is not None:
                     t = t.select(want)
+            elif predicate is not None:
+                t = _read_stripe_pruned(fl, row["stripe"], want, predicate)
             else:
                 t = fl.read_stripe(row["stripe"], want)
             tables.append(_filter_exact(t) if predicate else t)
