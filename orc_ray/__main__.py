@@ -234,7 +234,12 @@ def cmd_import_orc(args) -> int:
               f"{len(f.stripes) - len(keep) - n_stat} by bloom)",
               file=sys.stderr)
         want = cols if cols is None or col in cols else cols + [col]
-        parts = [f.read_stripe(i, want) for i in keep]
+        from .sources.orcfile import _read_stripe_pruned
+
+        # within surviving stripes, ROW_INDEX row-group stats prune
+        # further and decode seeks to the candidate span
+        parts = [_read_stripe_pruned(f, i, want, (col, lo, hi))
+                 for i in keep]
         table = (pa.concat_tables(parts) if parts
                  else f.arrow_schema().empty_table())
         table = table.filter(pc.and_(
