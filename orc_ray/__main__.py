@@ -219,15 +219,25 @@ def cmd_import_orc(args) -> int:
 
         col, lo, hi = args.filter.split(":")
         lo, hi = _coerce(lo), _coerce(hi)
-        stats = f.stripe_statistics()
-        keep = [
-            i for i in range(len(f.stripes))
-            if not (i < len(stats) and (s := stats[i].get(col))
-                    and s[0] is not None and s[1] is not None
-                    and (s[1] < lo or s[0] > hi))
-        ]
+        # timestamp columns: stats/blooms use epoch-ms, the exact filter
+        # the column's own unit — never prune on mismatched units
+        ckind = dict(zip(f.schema.field_names,
+                         (c.kind for c in f.schema.children))).get(col)
+        stats = f.stripe_statistics() if ckind != 9 else []
+
+        def _excluded(i: int) -> bool:
+            if i >= len(stats):
+                return False
+            s = stats[i].get(col)
+            try:
+                return (s is not None and s[0] is not None
+                        and s[1] is not None and (s[1] < lo or s[0] > hi))
+            except TypeError:
+                return False
+
+        keep = [i for i in range(len(f.stripes)) if not _excluded(i)]
         n_stat = len(f.stripes) - len(keep)
-        if lo == hi:  # point lookup: bloom-filter index streams too
+        if lo == hi and ckind != 9:  # point lookup: bloom streams too
             keep = [i for i in keep if f.bloom_might_contain(i, col, lo)]
         print(f"pruned {len(f.stripes) - len(keep)}/{len(f.stripes)} "
               f"stripes ({n_stat} by statistics, "

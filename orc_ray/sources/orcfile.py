@@ -1173,22 +1173,30 @@ def _read_stripe_pruned(fl: ORCFile, i: int, want, predicate) -> pa.Table:
     pcol, lo, hi = predicate
     stride = fl.row_index_stride
     root = fl.schema
-    colid = None
+    colid = kind = None
     if root.kind == 12:
         for nm, ch in zip(root.field_names, root.children):
             if nm == pcol:
-                colid = ch.column
+                colid, kind = ch.column, ch.kind
                 break
-    if not stride or colid is None:
+    # kind 9: index stats are epoch-MILLISECONDS while the exact filter
+    # compares in the column's own unit — pruning on mismatched units
+    # would silently drop rows, so timestamps rely on the exact filter
+    if not stride or colid is None or kind == 9:
         return fl.read_stripe(i, want)
     ri = fl.row_index(i, colid)
     nrows = fl.stripes[i].number_of_rows
-    if not ri:
+    if not ri or len(ri) < -(-nrows // stride):
+        # short index (fewer entries than row groups): don't trust it
         return fl.read_stripe(i, want)
     keep = []
     for g, (_, (gmin, gmax, _, _)) in enumerate(ri):
-        if gmin is not None and gmax is not None and (gmax < lo or gmin > hi):
-            continue  # stats prove no row in this group can match
+        try:
+            if gmin is not None and gmax is not None \
+                    and (gmax < lo or gmin > hi):
+                continue  # stats prove no row in this group can match
+        except TypeError:
+            pass  # stats/predicate type mismatch: never prune on it
         keep.append(g)
     if not keep:
         t = fl.arrow_schema().empty_table()
@@ -1245,14 +1253,31 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
         pruned)."""
         f = ORCFile(p)
         stats = f.stripe_statistics() if predicate else []
-        point = predicate is not None and predicate[1] == predicate[2]
+        # timestamp stats are epoch-ms while the exact filter compares in
+        # the column's own unit; pruning on mismatched units would drop
+        # rows (same guard as _read_stripe_pruned)
+        pkind = None
+        if predicate and f.schema.kind == 12:
+            for nm, ch in zip(f.schema.field_names, f.schema.children):
+                if nm == pcol:
+                    pkind = ch.kind
+                    break
+        # bloom probes hash timestamps as writer-frame epoch-ms; a
+        # predicate in any other unit would mis-probe, so kind 9 relies
+        # on the exact filter alone
+        point = (predicate is not None and predicate[1] == predicate[2]
+                 and pkind != 9)
         items: list[dict] = []
         for i in range(len(f.stripes)):
-            if predicate and i < len(stats):
+            if predicate and i < len(stats) and pkind != 9:
                 s = stats[i].get(pcol)
-                if s is not None and s[0] is not None and s[1] is not None \
-                        and (s[1] < predicate[1] or s[0] > predicate[2]):
-                    continue  # stats prove no row can match
+                try:
+                    if s is not None and s[0] is not None \
+                            and s[1] is not None \
+                            and (s[1] < predicate[1] or s[0] > predicate[2]):
+                        continue  # stats prove no row can match
+                except TypeError:
+                    pass  # stats/predicate type mismatch: never prune
             if point and not f.bloom_might_contain(i, pcol, predicate[1]):
                 continue  # bloom filters prove no row can match
             items.append({"path": p, "stripe": i})

@@ -136,3 +136,27 @@ def test_read_orc_rowgroup_pushdown(ray_session, tmp_path):
     # all groups pruned inside the surviving stripe -> typed empty
     ds0 = read_orc(dst, columns=["v"], predicate=("k", 10**9, 10**9))
     assert ds0.count() == 0
+
+
+def test_timestamp_predicate_never_pruned_wrong(ray_session, tmp_path):
+    """Timestamp stats/blooms are epoch-ms while predicates arrive in the
+    column's own unit; pruning must be disabled for kind 9 so the exact
+    filter (which handles the unit correctly) is authoritative."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources.orcfile import read_orc
+
+    n = 30000
+    ts = (1_600_000_000_000_000 + np.arange(n) * 1_000_000)  # us
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "v": pa.array(range(n), pa.int64())})
+    dst = str(tmp_path / "ts.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    f = ORCFile(dst)
+    assert sum(st.number_of_rows for st in f.stripes) == n  # 3 row groups
+    lo = pa.scalar(int(ts[15000]) * 1000, pa.timestamp("ns"))
+    hi = pa.scalar(int(ts[15099]) * 1000, pa.timestamp("ns"))
+    ds = read_orc(dst, columns=["v"], predicate=("ts", lo, hi))
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    assert sorted(got.column("v").to_pylist()) == list(range(15000, 15100))
