@@ -185,3 +185,28 @@ def test_read_orc_many_files_distributed_plan(ray_session, tmp_path):
     assert ds0.count() == 0
     if tabs:
         assert pa.concat_tables(tabs).column_names == ["v"]
+
+
+def test_ingest_orc_lake_to_native(ray_session, tmp_path):
+    """ingest-orc: foreign ORC lake -> native encoded dir in one streaming
+    pipeline; decoded output equals the lake content."""
+    import pyarrow.compute as pc
+
+    from orc_ray.pipelines.decode import decode_table
+
+    src = pq.read_table(f"{SF}/events.parquet")
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    for i in range(3):
+        paorc.write_table(src.slice(i * 300, 300),
+                          str(lake / f"p{i}.orc"), compression="zlib")
+    out = str(tmp_path / "native")
+    rc = main(["ingest-orc", str(lake / "*.orc"), "--out", out])
+    assert rc == 0
+    dec = decode_table(out)
+    want = src.slice(0, 900)
+    cols = sorted(dec.column_names)
+    assert dec.num_rows == 900
+    assert dec.sort_by("event_id").select(cols).equals(
+        want.sort_by("event_id").select(cols).cast(
+            dec.select(cols).schema))
