@@ -210,3 +210,45 @@ def test_ingest_orc_lake_to_native(ray_session, tmp_path):
     assert dec.sort_by("event_id").select(cols).equals(
         want.sort_by("event_id").select(cols).cast(
             dec.select(cols).schema))
+
+
+def test_pyarrow_crosscheck_randomized_nested(tmp_path):
+    """Randomized schemas through pyarrow's ORC writer -> our reader:
+    nested lists/structs/maps, every null density, small and large
+    row counts. Catches decoder edge cases the fixed fixtures miss."""
+    import numpy as np
+
+    rng = np.random.default_rng(20260819)
+    for seed in range(4):
+        n = int(rng.integers(1, 3000))
+        null_p = float(rng.choice([0.0, 0.1, 0.9]))
+
+        def nulls(vals):
+            return [None if rng.random() < null_p else v for v in vals]
+
+        t = pa.table({
+            "i": pa.array(nulls(rng.integers(-2**40, 2**40, n).tolist()),
+                          pa.int64()),
+            "s": pa.array(nulls([f"x{int(v)}" for v in
+                                 rng.integers(0, 50, n)])),
+            "li": pa.array(nulls([rng.integers(0, 100,
+                                               int(rng.integers(0, 5))).tolist()
+                                  for _ in range(n)]),
+                           pa.list_(pa.int64())),
+            "st": pa.array(nulls([{"a": int(v), "b": f"s{int(v) % 7}"}
+                                  for v in rng.integers(0, 99, n)]),
+                           pa.struct([("a", pa.int64()), ("b", pa.string())])),
+            "m": pa.array(nulls([[(f"k{j}", j * 2) for j in
+                                  range(int(rng.integers(0, 4)))]
+                                 for _ in range(n)]),
+                          pa.map_(pa.string(), pa.int64())),
+        })
+        dst = str(tmp_path / f"rand{seed}.orc")
+        comp = ["zlib", "snappy", "uncompressed", "zstd"][seed % 4]
+        paorc.write_table(t, dst, compression=comp,
+                          stripe_size=64 * 1024)
+        got = ORCFile(dst).read()
+        assert got.num_rows == n, (seed, comp)
+        for c in t.column_names:
+            assert got.column(c).to_pylist() == t.column(c).to_pylist(), \
+                (seed, comp, c, null_p)
