@@ -121,11 +121,25 @@ def probe_hashes(value, kind: int) -> list[int]:
     files without one hashed local-JVM wall time, unrecoverable from the
     file). A stripe may be skipped only when EVERY candidate misses."""
     if kind in _BYTES_KINDS:
-        raw = value.encode() if isinstance(value, str) else bytes(value)
+        if isinstance(value, str):
+            raw = value.encode()
+        elif isinstance(value, (bytes, bytearray, memoryview)):
+            raw = bytes(value)
+        else:
+            # A non-string probe on a string column hashes garbage
+            # (bytes(5) is five NULs) and could falsely prove absence —
+            # report "no probe" so the stripe is never skipped.
+            return []
         return [murmur3_hash64(raw)]
     if kind in _INT_KINDS or kind == _TS_KIND:
+        if kind == 15 and hasattr(value, "toordinal"):
+            # date columns hash epoch-DAYS; datetime.date isn't int()-able
+            value = value.toordinal() - 719163
+        try:
+            v = int(value) & _M64
+        except (TypeError, ValueError):
+            return []  # unprobeable value: never skip on it
         # timestamp probes take epoch-milliseconds (the writer's unit)
-        v = int(value) & _M64
         return [murmur3_hash64(struct.pack("<Q", v)), wang_long_hash(v)]
     if kind in _FLOAT_KINDS:
         bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
@@ -172,7 +186,10 @@ class BloomFilterIndex:
                 words = np.array(f3, dtype=np.uint64)
                 nbits = int(-n * math.log(fpp) / (math.log(2) ** 2))
                 nbits = min(max(1, nbits), len(words) * 64)
-                k = max(1, round(nbits / n * math.log(2)))
+                # Java Math.round = floor(x+0.5); Python round() banker's-
+                # rounds halfway values to even, deriving a different k on
+                # exact .5 and probing the wrong bits (silent row loss).
+                k = max(1, int(nbits / n * math.log(2) + 0.5))
             elif f3 is not None:  # BLOOM_FILTER_UTF8
                 k = _pb_one(f, 1, 0)
                 words = np.frombuffer(bytes(f3[0]), dtype="<u8")

@@ -430,6 +430,12 @@ class ORCFile:
 
             self.path = path_or_data
             with open(path_or_data, "rb") as fh:
+                import os
+
+                if os.fstat(fh.fileno()).st_size < 4:
+                    # mmap raises ValueError on zero-byte files; keep the
+                    # contract that malformed inputs raise OrcFormatError
+                    raise OrcFormatError("missing ORC magic")
                 data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         self._data = data
         if len(data) < 4 or data[:3] != b"ORC":
@@ -1295,6 +1301,11 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
                 t = _read_stripe_pruned(fl, row["stripe"], want, predicate)
             else:
                 t = fl.read_stripe(row["stripe"], want)
+                if want is not None:
+                    # read_stripe returns schema order; the sentinel block
+                    # is in user order — normalize (zero-copy) so every
+                    # block of the Dataset has identical column order
+                    t = t.select(want)
             tables.append(_filter_exact(t) if predicate else t)
         return pa.concat_tables(tables)
 

@@ -140,3 +140,20 @@ def test_probe_hashes_kinds():
     assert len(probe_hashes(1.5, 6)) == 2
     assert probe_hashes(True, 0) == []          # boolean: unsupported
     assert probe_hashes(None, 14) == []         # decimal: unsupported
+
+
+def test_probe_hashes_date_and_type_mismatches():
+    """ADVICE r4: date probes must accept datetime.date (epoch-days), and
+    type-mismatched probes must report 'no probe' (never a garbage hash
+    that could falsely prove absence)."""
+    import datetime
+    import struct as _s
+
+    d = datetime.date(1970, 1, 11)  # epoch-day 10
+    got = probe_hashes(d, 15)
+    assert got and got[0] == murmur3_hash64(_s.pack("<Q", 10))
+    assert probe_hashes(10, 15) == got  # plain ints keep working
+    # int probe on a string column: bytes(5) would hash five NULs
+    assert probe_hashes(5, 7) == []
+    assert probe_hashes(None, 8) == []
+    assert probe_hashes("not-an-int", 4) == []  # unparseable int probe

@@ -187,6 +187,48 @@ def test_read_orc_many_files_distributed_plan(ray_session, tmp_path):
         assert pa.concat_tables(tabs).column_names == ["v"]
 
 
+def test_read_orc_distributed_reordered_projection(ray_session, tmp_path):
+    """ADVICE r4: with >_PLAN_INLINE_MAX files and a projection NOT in
+    schema order, every block (sentinel and decoded) must come out in the
+    user's column order — mixed orders used to trip Ray's schema check."""
+    from orc_ray.sources import orcfile as of
+
+    paths = []
+    for fi in range(of._PLAN_INLINE_MAX + 2):
+        t = pa.table({
+            "a": pa.array(range(fi * 10, fi * 10 + 10), pa.int64()),
+            "b": pa.array([f"s{j}" for j in range(10)]),
+            "c": pa.array([float(j) for j in range(10)]),
+        })
+        dst = str(tmp_path / f"g{fi:03d}.orc")
+        paorc.write_table(t, dst, compression="zlib")
+        paths.append(dst)
+    ds = read_orc(paths, columns=["c", "a"])  # reversed vs schema order
+    tabs = list(ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    assert all(t.column_names == ["c", "a"] for t in tabs)
+    got = pa.concat_tables(tabs).sort_by("a")
+    assert got.num_rows == 10 * len(paths)
+    assert got.column("a").to_pylist() == list(range(10 * len(paths)))
+
+
+def test_orcfile_empty_and_tiny_files_raise_format_error(tmp_path):
+    """ADVICE r4: zero-byte and <4-byte files must raise OrcFormatError,
+    not mmap's ValueError."""
+    from orc_ray.sources.orcfile import OrcFormatError
+
+    empty = tmp_path / "empty.orc"
+    empty.write_bytes(b"")
+    tiny = tmp_path / "tiny.orc"
+    tiny.write_bytes(b"OR")
+    for p in (empty, tiny):
+        try:
+            ORCFile(str(p))
+        except OrcFormatError:
+            pass
+        else:
+            raise AssertionError(f"{p} did not raise OrcFormatError")
+
+
 def test_ingest_orc_lake_to_native(ray_session, tmp_path):
     """ingest-orc: foreign ORC lake -> native encoded dir in one streaming
     pipeline; decoded output equals the lake content."""
