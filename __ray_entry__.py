@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bool_stats": q.q_bool_stats,
         "orc_import": q.q_orc_import,
         "orc_pushdown": q.q_orc_pushdown,
+        "orc_export": q.q_orc_export,
         # text analysis
         "token_count": x.q_token_count,
         "quality_score": x.q_quality,
@@ -114,6 +115,7 @@ def oracle_sql() -> dict[str, str]:
         "bool_stats": q.SQL_BOOL_STATS,
         "orc_import": q.SQL_ORC_IMPORT,
         "orc_pushdown": q.SQL_ORC_PUSHDOWN,
+        "orc_export": q.SQL_ORC_EXPORT,
         "token_count": x.SQL_Q_TOKEN_COUNT,
         "quality_score": x.SQL_Q_QUALITY,
         "langid": x.SQL_Q_LANGID,

@@ -196,6 +196,41 @@ def cmd_ingest_orc(args) -> int:
     return 0
 
 
+def cmd_export_orc(args) -> int:
+    """Export to a real Apache-ORC lake (the reverse of ingest-orc):
+    either a native encoded dir (--dir, streamed through decode_dataset)
+    or parquet shards (--input) fan out one content-addressed ORC part
+    file per batch, readable by pyarrow/Hive/Presto and our own reader."""
+    from .pipelines.export_orc import export_orc_dataset
+
+    _ensure_ray(args.cpus)
+    if bool(args.dir) == bool(args.input):
+        print("export-orc needs exactly one of --dir / --input",
+              file=sys.stderr)
+        return 1
+    if args.dir:
+        from .pipelines.decode import decode_dataset
+
+        cols = args.columns.split(",") if args.columns else None
+        ds = decode_dataset(args.dir, columns=cols)
+    else:
+        import ray.data
+
+        paths = sorted(glob.glob(args.input)) or [args.input]
+        cols = args.columns.split(",") if args.columns else None
+        ds = ray.data.read_parquet(paths, columns=cols)
+    man = export_orc_dataset(ds, args.out, compression=args.compression,
+                             batch_rows=args.rows_per_file)
+    files = rows = size = 0
+    for b in man.iter_batches(batch_format="pyarrow", batch_size=None):
+        files += b.num_rows
+        rows += sum(b.column("num_rows").to_pylist())
+        size += sum(b.column("bytes").to_pylist())
+    print(json.dumps({"files": files, "rows": rows, "bytes": size,
+                      "out": args.out}))
+    return 0
+
+
 def cmd_schema(args) -> int:
     import base64
     import pyarrow as pa
@@ -359,6 +394,19 @@ def main(argv=None) -> int:
     p.add_argument("--stripe-tokens", type=int, default=2_000_000)
     p.add_argument("--cpus", type=int, default=None)
     p.set_defaults(fn=cmd_ingest_orc)
+
+    p = sub.add_parser("export-orc",
+                       help="native encoded dir or parquet -> real "
+                       "Apache-ORC part files (distributed, streaming)")
+    p.add_argument("--dir", default="", help="native encoded dir input")
+    p.add_argument("--input", default="", help="parquet glob input")
+    p.add_argument("--out", required=True, help="output directory")
+    p.add_argument("--columns", default="")
+    p.add_argument("--compression", default="zlib",
+                   choices=["none", "zlib", "snappy", "zstd"])
+    p.add_argument("--rows-per-file", type=int, default=128 * 1024)
+    p.add_argument("--cpus", type=int, default=None)
+    p.set_defaults(fn=cmd_export_orc)
 
     p = sub.add_parser("import-orc",
                        help="decode a foreign Apache-ORC file (info/parquet/csv)")
