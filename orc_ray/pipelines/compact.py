@@ -74,7 +74,9 @@ class CompactionWorker:
         for row in bins.to_pylist():
             pid = int(row["pid"])
             mpath = mf.manifest_path(self.dst_dir, pid)
-            if os.path.exists(mpath):  # resume / retried task
+            from ..state import storage
+
+            if storage.exists(mpath):  # resume / retried task
                 all_rows.extend(pq.read_table(mpath).to_pylist())
                 continue
             stripes = json.loads(row["stripes_json"])

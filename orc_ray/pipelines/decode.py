@@ -40,9 +40,11 @@ class StripeDecoder:
         self.postprocess = postprocess
 
     def __call__(self, man: pa.Table):
+        from ..state import storage
+
         for row in man.select(["blob_path", "meta_json"]).to_pylist():
-            with open(os.path.join(self.blobs_dir, row["blob_path"]), "rb") as f:
-                blob = f.read()
+            blob = storage.read_file(
+                storage.join(self.blobs_dir, row["blob_path"]))
             meta = json.loads(row["meta_json"])
             t = decode_blob(blob, meta, columns=self.columns)
             yield self.postprocess(t) if self.postprocess is not None else t
@@ -62,9 +64,11 @@ class ManifestShardDecoder(StripeDecoder):
 def manifest_file_items(out_dir: str) -> list[dict]:
     """Per-partition manifest files as from_items rows (the decode fan-out
     work units)."""
+    from ..state import storage
+
     mdir = mf.manifest_dir(out_dir)
-    return [{"path": os.path.join(mdir, f)}
-            for f in sorted(os.listdir(mdir)) if f.endswith(".parquet")]
+    return [{"path": storage.join(mdir, f)}
+            for f in sorted(storage.listdir(mdir)) if f.endswith(".parquet")]
 
 
 def _pool_blocks(n_items: int, concurrency) -> int:
@@ -218,12 +222,13 @@ def _lookup_stripe(blobs_dir: str, blob_path: str, meta: dict, column: str,
                     st["min"] <= v <= st["max"] for v in values):
                 return None, "stats"
             break
-    path = os.path.join(blobs_dir, blob_path)
+    from ..state import storage
+
+    path = storage.join(blobs_dir, blob_path)
     filt = read_stream_from_file(path, meta, column, "BLOOM_FILTER")
     if filt is not None and not bloom.might_contain(filt, hashes).any():
         return None, "bloom"
-    with open(path, "rb") as f:
-        blob = f.read()
+    blob = storage.read_file(path)
     t = decode_blob(blob, meta, columns=columns)
     ft = t.filter(pc.is_in(t.column(column), value_set=pa.array(values)))
     return (ft if ft.num_rows else None), "decoded"

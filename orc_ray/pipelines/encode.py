@@ -189,10 +189,12 @@ def encode_job(
     config = config or EncoderConfig()
     mf.ensure_dirs(out_dir)
     if not resume:
+        from ..state import storage
+
         mdir = mf.manifest_dir(out_dir)
-        for name in os.listdir(mdir):
+        for name in storage.listdir(mdir):
             if name.endswith(".parquet"):
-                os.remove(os.path.join(mdir, name))
+                storage.remove(storage.join(mdir, name))
     if config.user_metadata:
         mf.write_user_metadata(out_dir, config.user_metadata)
     target = partition_target_tokens or config.stripe_target_tokens
@@ -302,9 +304,10 @@ class StreamingEncoder:
         first = str(batch.column(0)[0].as_py())
         pid = _zlib.crc32(f"{first}:{batch.num_rows}".encode())
         mpath = mf.manifest_path(self.out_dir, pid)
-        if os.path.exists(mpath):
-            import pyarrow.parquet as pq
-            return pq.read_table(mpath)
+        from ..state import storage
+
+        if storage.exists(mpath):
+            return mf.read_manifest_file(mpath)
         rows = _encode_stripes(batch, pid, self.out_dir, self.config,
                                self.selector, {})
         mf.commit_partition(self.out_dir, pid, rows)

@@ -25,6 +25,7 @@ import zlib
 import pyarrow as pa
 
 from ..sources.orcwriter import write_orc_file
+from ..state import storage
 
 
 def _write_part(batch: pa.Table, out_dir: str, compression: str) -> pa.Table:
@@ -33,12 +34,9 @@ def _write_part(batch: pa.Table, out_dir: str, compression: str) -> pa.Table:
     data = buf.getvalue()
     tag = zlib.crc32(data) & 0xFFFFFFFF
     name = f"part-{tag:08x}-{batch.num_rows}.orc"
-    path = os.path.join(out_dir, name)
-    if not os.path.exists(path):  # content-addressed: retries are no-ops
-        tmp = f"{path}.tmp.{os.getpid()}"
-        with open(tmp, "wb") as fh:
-            fh.write(data)
-        os.replace(tmp, path)
+    path = storage.join(out_dir, name)
+    if not storage.exists(path):  # content-addressed: retries are no-ops
+        storage.write_file_atomic(path, data)
     return pa.table({
         "path": pa.array([path], pa.string()),
         "num_rows": pa.array([batch.num_rows], pa.int64()),
@@ -54,7 +52,7 @@ def export_orc_dataset(ds, out_dir: str, *, compression: str = "zlib",
     manifest as a Dataset (path, num_rows, bytes, stripes) — consume it to
     drive the export.  ``batch_rows`` sizes one output file (one stripe
     per <=1Mi rows inside, writer.go:21 semantics)."""
-    os.makedirs(out_dir, exist_ok=True)
+    storage.makedirs(out_dir)
 
     def write(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:

@@ -25,6 +25,8 @@ import os
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from . import storage
+
 MANIFEST_SCHEMA = pa.schema([
     ("partition_id", pa.int64()),
     ("stripe_id", pa.int64()),
@@ -48,21 +50,21 @@ def read_manifest_file(path: str, columns: list[str] | None = None) -> pa.Table:
     ~1 ms/file regardless of size — 5x the whole read for a 20 KiB
     manifest, and the dominant term in a decode task's metadata path.
     ``ParquetFile.read`` is the direct single-file reader (~0.2 ms)."""
-    return pq.ParquetFile(path, buffer_size=0).read(
+    return pq.ParquetFile(storage.open_input(path), buffer_size=0).read(
         columns=columns, use_threads=False)
 
 
 def blobs_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "blobs")
+    return storage.join(out_dir, "blobs")
 
 
 def manifest_dir(out_dir: str) -> str:
-    return os.path.join(out_dir, "manifest")
+    return storage.join(out_dir, "manifest")
 
 
 def ensure_dirs(out_dir: str) -> None:
-    os.makedirs(blobs_dir(out_dir), exist_ok=True)
-    os.makedirs(manifest_dir(out_dir), exist_ok=True)
+    storage.makedirs(blobs_dir(out_dir))
+    storage.makedirs(manifest_dir(out_dir))
 
 
 def blob_name(pid: int, stripe: int) -> str:
@@ -83,7 +85,7 @@ def lineage_tag(file: str, row_start: int, row_count: int) -> str:
 def manifest_path(out_dir: str, pid: int, tag: str | None = None) -> str:
     name = (f"part-{pid:06d}-{tag}.parquet" if tag
             else f"part-{pid:06d}.parquet")
-    return os.path.join(manifest_dir(out_dir), name)
+    return storage.join(manifest_dir(out_dir), name)
 
 
 def find_manifest(out_dir: str, pid: int, tag: str | None = None) -> str | None:
@@ -91,19 +93,15 @@ def find_manifest(out_dir: str, pid: int, tag: str | None = None) -> str | None:
     untagged name (pre-tag dirs stay resumable)."""
     if tag:
         p = manifest_path(out_dir, pid, tag)
-        if os.path.exists(p):
+        if storage.exists(p):
             return p
     p = manifest_path(out_dir, pid)
-    return p if os.path.exists(p) else None
+    return p if storage.exists(p) else None
 
 
 def write_blob_atomic(out_dir: str, pid: int, stripe: int, blob: bytes) -> str:
     rel = blob_name(pid, stripe)
-    path = os.path.join(blobs_dir(out_dir), rel)
-    tmp = path + ".tmp"
-    with open(tmp, "wb") as f:
-        f.write(blob)
-    os.replace(tmp, path)
+    storage.write_file_atomic(storage.join(blobs_dir(out_dir), rel), blob)
     return rel
 
 
@@ -112,42 +110,35 @@ def commit_partition(out_dir: str, pid: int, rows: list[dict],
     """Write the partition's manifest atomically (the commit point)."""
     table = pa.Table.from_pylist(rows, schema=MANIFEST_SCHEMA)
     path = manifest_path(out_dir, pid, tag)
-    tmp = path + ".tmp"
-    pq.write_table(table, tmp)
-    os.replace(tmp, path)
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    storage.write_file_atomic(path, sink.getvalue().to_pybytes())
     return table
 
 
 def user_metadata_path(out_dir: str) -> str:
-    return os.path.join(manifest_dir(out_dir), "_user_metadata.json")
+    return storage.join(manifest_dir(out_dir), "_user_metadata.json")
 
 
 def write_user_metadata(out_dir: str, kv: dict) -> None:
     """Persist user key/value metadata next to the manifests, atomically
     (the writer.go:96-104 AddUserMetadata analogue — here it survives
     crashes because it commits before any partition encodes)."""
-    path = user_metadata_path(out_dir)
-    tmp = path + ".tmp"
-    with open(tmp, "w") as f:
-        json.dump({str(k): str(v) for k, v in kv.items()}, f,
-                  separators=(",", ":"), sort_keys=True)
-    os.replace(tmp, path)
+    data = json.dumps({str(k): str(v) for k, v in kv.items()},
+                      separators=(",", ":"), sort_keys=True).encode()
+    storage.write_file_atomic(user_metadata_path(out_dir), data)
 
 
 def read_user_metadata(out_dir: str) -> dict:
     path = user_metadata_path(out_dir)
-    if not os.path.exists(path):
+    if not storage.exists(path):
         return {}
-    with open(path) as f:
-        return json.load(f)
+    return json.loads(storage.read_file(path).decode())
 
 
 def completed_partitions(out_dir: str) -> set[int]:
-    mdir = manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return set()
     out = set()
-    for name in os.listdir(mdir):
+    for name in storage.listdir(manifest_dir(out_dir)):
         if name.startswith("part-") and name.endswith(".parquet"):
             out.add(int(name[5:11]))
     return out
@@ -157,11 +148,8 @@ def completed_tags(out_dir: str) -> dict[int, str | None]:
     """pid -> lineage tag parsed from the manifest FILENAME (None for
     legacy untagged names). A listdir-only resume validation primitive:
     no manifest file is opened."""
-    mdir = manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return {}
     out: dict[int, str | None] = {}
-    for name in os.listdir(mdir):
+    for name in storage.listdir(manifest_dir(out_dir)):
         if not (name.startswith("part-") and name.endswith(".parquet")):
             continue
         stem = name[5:-8]  # strip 'part-' and '.parquet'
@@ -176,13 +164,11 @@ def completed_lineage(out_dir: str) -> dict[int, tuple]:
     Resume validation reads this so a changed input plan can never be
     silently skipped against stale partition ids."""
     mdir = manifest_dir(out_dir)
-    if not os.path.isdir(mdir):
-        return {}
-    names = sorted(n for n in os.listdir(mdir)
+    names = sorted(n for n in storage.listdir(mdir)
                    if n.startswith("part-") and n.endswith(".parquet"))
 
     def _one(name: str):
-        t = read_manifest_file(os.path.join(mdir, name),
+        t = read_manifest_file(storage.join(mdir, name),
                                columns=["input_file", "row_start", "row_count"])
         if not t.num_rows:
             return None
@@ -200,7 +186,8 @@ def completed_lineage(out_dir: str) -> dict[int, tuple]:
 def read_manifest(out_dir: str, columns: list[str] | None = None) -> pa.Table:
     mdir = manifest_dir(out_dir)
     files = sorted(
-        os.path.join(mdir, f) for f in os.listdir(mdir) if f.endswith(".parquet")
+        storage.join(mdir, f) for f in storage.listdir(mdir)
+        if f.endswith(".parquet")
     )
     if not files:
         t = MANIFEST_SCHEMA.empty_table()

@@ -261,9 +261,9 @@ def read_stream_from_file(path: str, meta: dict, column: str, kind: str) -> byte
     outer = meta.get("outer", "none")
     for rec in meta["streams"]:
         if rec["column"] == column and rec["kind"] == kind:
-            with open(path, "rb") as f:
-                f.seek(rec["offset"])
-                data = f.read(rec["length"])
+            from .state import storage
+
+            data = storage.read_file_range(path, rec["offset"], rec["length"])
             return _decompress_outer(data, rec, outer)
     return None
 
