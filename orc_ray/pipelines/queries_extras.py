@@ -518,28 +518,76 @@ def q_distinct_pairs(sf_dir: str):
 SQL_Q_DISTINCT_PAIRS = "SELECT DISTINCT source, lang FROM documents"
 
 
-def q_vocab_size(sf_dir: str):
+def _vocab_part_counts(parts, num_parts: int):
+    """Hash-partition word-set partials on a word-hash part key (the
+    _merge_partials pattern, specialized to a string key) and count
+    distinct words inside each partition independently: a word lands in
+    exactly ONE partition, so the per-partition counts sum exactly and no
+    single task ever holds the full vocabulary."""
+    from ..codecs.dictionary import string_hashes64
+
+    def add_part(b: pa.Table) -> pa.Table:
+        h = string_hashes64(b.column("word").combine_chunks())
+        part = (h % np.uint64(num_parts)).astype(np.int64)
+        return b.append_column("part", pa.array(part))
+
+    def count_group(g: pa.Table) -> pa.Table:
+        n = g.group_by(["word"]).aggregate([]).num_rows
+        return pa.table({"part_vocab": pa.array([n], type=pa.int64())})
+
+    return parts.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("part").map_groups(count_group, batch_format="pyarrow")
+
+
+def q_vocab_size(sf_dir: str, num_parts: int | None = None):
     """Exact corpus vocabulary size via the two-level distinct combiner:
     each batch reduces its token stream to the batch-local word set
-    (bounded by vocabulary, not token count), the tiny survivors merge
-    once. The exact companion to q_approx_distinct_words."""
+    (bounded by vocabulary, not token count).  The final merge is
+    level-selected like _merge_partials: small corpora tree-reduce the
+    survivors in one task; above _TWO_LEVEL_MERGE_BYTES of input (an
+    open-vocabulary corpus whose word set can exceed one worker's heap)
+    the partials hash-partition on a word-hash key and each partition
+    counts its distinct words independently — only the per-partition
+    COUNTS (one int each) meet in the final row.  The exact companion to
+    q_approx_distinct_words (the sketch is still the 100-TB default)."""
     import ray.data
 
     from ..functions.texthash import flat_words
 
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["text"])
+    src = os.path.join(sf_dir, "documents.parquet")
+    ds = ray.data.read_parquet(src, columns=["text"])
+    if num_parts is None:
+        import glob as _glob
+
+        sz = sum(os.path.getsize(p) for p in (_glob.glob(src)
+                                              if "*" in src else [src]))
+        if sz > _TWO_LEVEL_MERGE_BYTES:
+            import ray
+            num_parts = max(2, int(ray.cluster_resources().get("CPU", 8)))
+        else:
+            num_parts = 1
 
     def uniq_words(b: pa.Table) -> pa.Table:
         flat, _ = flat_words(b.column("text"))
         return pa.table({"word": flat}).group_by(["word"]).aggregate([])
 
-    def count_distinct(b: pa.Table) -> pa.Table:
-        n = b.group_by(["word"]).aggregate([]).num_rows
+    parts = ds.map_batches(uniq_words, batch_format="pyarrow")
+
+    if num_parts <= 1:
+        def count_distinct(b: pa.Table) -> pa.Table:
+            n = b.group_by(["word"]).aggregate([]).num_rows
+            return pa.table({"vocab_size": pa.array([n], type=pa.int64())})
+
+        return parts.repartition(1).map_batches(count_distinct,
+                                                batch_format="pyarrow")
+
+    def total(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = pc.sum(b.column("part_vocab")).as_py() or 0
         return pa.table({"vocab_size": pa.array([n], type=pa.int64())})
 
-    return ds.map_batches(uniq_words, batch_format="pyarrow") \
-        .repartition(1).map_batches(count_distinct, batch_format="pyarrow")
+    return _vocab_part_counts(parts, num_parts) \
+        .repartition(1).map_batches(total, batch_format="pyarrow")
 
 
 SQL_Q_VOCAB_SIZE = (

@@ -82,6 +82,14 @@ def _pb_one(f: dict, num: int, default=None):
     return v[0] if v else default
 
 
+def _vu(n: int) -> bytes:
+    from ..codecs.varint import write_vulong
+
+    out = bytearray()
+    write_vulong(out, n)
+    return bytes(out)
+
+
 def _pb_packed_uints(f: dict, num: int) -> list[int]:
     """repeated uint32/uint64 that may be packed (wt 2) or unpacked (wt 0)."""
     out: list[int] = []
@@ -456,6 +464,10 @@ class ORCFile:
         footer = _pb_fields(_decompress(data[tail_start: tail_start + footer_len],
                                         self.compression))
         self.schema = _parse_types(footer.get(4, []))
+        # raw Type buffers, kept so stripe work items can carry the schema
+        # to decode tasks without a per-stripe tail re-parse (stripe_spec)
+        self._raw_types = b"".join(
+            b"\x22" + _vu(len(t)) + bytes(t) for t in footer.get(4, []))
         self.number_of_rows = _pb_one(footer, 6, 0)
         self.row_index_stride = _pb_one(footer, 8, 0)
         self.stripes: list[StripeInfo] = []
@@ -477,6 +489,52 @@ class ORCFile:
         self._stripe_stats: list[dict] | None = None
 
     # -- public API ---------------------------------------------------------
+
+    def stripe_spec(self, i: int) -> dict:
+        """Self-contained work item for stripe ``i``: everything a decode
+        task needs (stripe extent + compression + serialized schema) so it
+        seeks straight to the stripe instead of re-parsing the file tail —
+        at a 100k-stripe lake the per-stripe tail parse is O(stripes)
+        redundant footer reads (object-store round trips)."""
+        st = self.stripes[i] if i >= 0 else StripeInfo(0, 0, 0, 0, 0)
+        return {
+            "path": self.path, "stripe": i, "offset": st.offset,
+            "index_length": st.index_length, "data_length": st.data_length,
+            "footer_length": st.footer_length,
+            "number_of_rows": st.number_of_rows,
+            "compression": self.compression,
+            "compression_block": self.compression_block,
+            "row_index_stride": self.row_index_stride,
+            "types": self._raw_types,
+        }
+
+    @classmethod
+    def from_stripe_spec(cls, spec: dict) -> "ORCFile":
+        """Rebuild a single-stripe view from a ``stripe_spec`` work item
+        WITHOUT touching the file tail (mmap only; stripe byte ranges are
+        read on demand).  The spec's stripe becomes index 0."""
+        import mmap
+
+        self = cls.__new__(cls)
+        self.path = spec["path"]
+        with open(self.path, "rb") as fh:
+            self._data = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
+        self.compression = spec["compression"]
+        self.compression_block = spec["compression_block"]
+        self.version = [0, 12]
+        self.schema = _parse_types(_pb_fields(spec["types"]).get(4, []))
+        self._raw_types = bytes(spec["types"])
+        self.row_index_stride = spec["row_index_stride"]
+        self.number_of_rows = spec["number_of_rows"]
+        self.stripes = [] if spec["stripe"] < 0 else [StripeInfo(
+            offset=spec["offset"], index_length=spec["index_length"],
+            data_length=spec["data_length"],
+            footer_length=spec["footer_length"],
+            number_of_rows=spec["number_of_rows"])]
+        self.user_metadata = {}
+        self._meta_section = (0, 0)
+        self._stripe_stats = None
+        return self
 
     def arrow_schema(self) -> pa.Schema:
         root = self.schema
@@ -1252,11 +1310,24 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
         t = t.filter(mask)
         return t.select(columns) if columns is not None else t
 
+    _SPEC_INT_COLS = ("stripe", "offset", "index_length", "data_length",
+                      "footer_length", "number_of_rows", "compression",
+                      "compression_block", "row_index_stride")
+
+    def _spec_table(items: list[dict]) -> pa.Table:
+        cols = {"path": pa.array([it["path"] for it in items], pa.string())}
+        for c in _SPEC_INT_COLS:
+            cols[c] = pa.array([it[c] for it in items], pa.int64())
+        cols["types"] = pa.array([it["types"] for it in items], pa.binary())
+        return pa.table(cols)
+
     def _plan_one(p: str) -> list[dict]:
-        """Tail-only planning for one file: stripe work items after
-        stats/bloom pruning.  stripe == -1 is the typed-empty sentinel (a
-        stripeless file, or schema anchoring when everything was
-        pruned)."""
+        """Tail-only planning for one file: SELF-CONTAINED stripe work
+        items (stripe extent + compression + serialized schema) after
+        stats/bloom pruning — decode tasks seek straight to their stripe,
+        never re-parsing the file tail (one tail read per file total).
+        stripe == -1 is the typed-empty sentinel (a stripeless file, or
+        schema anchoring when everything was pruned)."""
         f = ORCFile(p)
         stats = f.stripe_statistics() if predicate else []
         # timestamp stats are epoch-ms while the exact filter compares in
@@ -1286,21 +1357,22 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
                     pass  # stats/predicate type mismatch: never prune
             if point and not f.bloom_might_contain(i, pcol, predicate[1]):
                 continue  # bloom filters prove no row can match
-            items.append({"path": p, "stripe": i})
+            items.append(f.stripe_spec(i))
         return items
 
     def _decode(batch: pa.Table) -> pa.Table:
         tables = []
         for row in batch.to_pylist():
-            fl = ORCFile(row["path"])
+            # self-contained spec: NO tail re-parse per stripe task
+            fl = ORCFile.from_stripe_spec(row)
             if row["stripe"] < 0:  # typed-empty sentinel
                 t = fl.arrow_schema().empty_table()
                 if want is not None:
                     t = t.select(want)
             elif predicate is not None:
-                t = _read_stripe_pruned(fl, row["stripe"], want, predicate)
+                t = _read_stripe_pruned(fl, 0, want, predicate)
             else:
-                t = fl.read_stripe(row["stripe"], want)
+                t = fl.read_stripe(0, want)
                 if want is not None:
                     # read_stripe returns schema order; the sentinel block
                     # is in user order — normalize (zero-copy) so every
@@ -1316,24 +1388,21 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
             items: list[dict] = []
             for p in b.column("path").to_pylist():
                 items.extend(_plan_one(p))
-            return pa.table({
-                "path": pa.array([it["path"] for it in items], pa.string()),
-                "stripe": pa.array([it["stripe"] for it in items],
-                                   pa.int64()),
-            })
+            return _spec_table(items)
         plan_src = ray.data.from_arrow(
             pa.table({"path": pa.array(paths, pa.string())}))
         planned = plan_src.map_batches(_plan_batch, batch_format="pyarrow",
                                        batch_size=32)
-        sentinel = ray.data.from_items([{"path": paths[0], "stripe": -1}])
+        sentinel = ray.data.from_arrow(
+            _spec_table([ORCFile(paths[0]).stripe_spec(-1)]))
         items = planned.union(sentinel)
     else:
         work: list[dict] = []
         for p in paths:
             work.extend(_plan_one(p))
         if not work:  # every stripe pruned (or all files stripeless)
-            work = [{"path": paths[0], "stripe": -1}]
-        items = ray.data.from_items(work)
+            work = [ORCFile(paths[0]).stripe_spec(-1)]
+        items = ray.data.from_arrow(_spec_table(work))
 
     return items.map_batches(_decode, batch_format="pyarrow", batch_size=1,
                              concurrency=concurrency)
