@@ -31,12 +31,17 @@ asserts a 100% hit rate for every value actually present, per type:
   data (its writer never added booleans), so skipping on it would drop
   rows.
 
-Later writer lineages (the orc.proto BLOOM_FILTER_UTF8 layout) are
-documented to hash longs through Thomas Wang's 64-bit mix instead; with no
-golden file to validate against, integer probes test BOTH candidate hashes
-and only report "cannot contain" when both miss — bloom skipping must be
-conservative, a false positive costs one stripe decode while a false
-negative loses data.
+The BLOOM_FILTER_UTF8 lineage (ORC C++/modern Java) was pinned in round 5
+against pyarrow-generated golden files (tests/test_orc_bloom.py): longs
+hash through Thomas Wang's 64-bit mix computed on SIGNED int64 — the
+right-shifts sign-extend, so hash(0) == 0 (a logical-shift variant misses
+present values, i.e. silent row loss); strings stay Murmur3 over raw
+bytes.  When the parsed layout identifies the writer lineage, integer
+probes use that lineage's single hash (full skipping power); for the
+orc.proto fixed64 layout — seen from no writer we have goldens for —
+probes test BOTH candidates and only report "cannot contain" when all
+miss, because bloom skipping must be conservative: a false positive costs
+one stripe decode while a false negative loses data.
 """
 
 from __future__ import annotations
@@ -90,17 +95,28 @@ def murmur3_hash64(data: bytes, seed: int = _DEFAULT_SEED) -> int:
     return _fmix64(h)
 
 
+def _asr64(x: int, n: int) -> int:
+    """Arithmetic (sign-propagating) right shift on a 64-bit value."""
+    if x >> 63:
+        return ((x >> n) | (~((1 << (64 - n)) - 1) & _M64)) & _M64
+    return x >> n
+
+
 def wang_long_hash(key: int) -> int:
-    """Thomas Wang's 64-bit integer hash — the long-hash used by later
-    Hive/ORC BloomFilter lineages (probed as a conservative second
-    candidate; see module docstring)."""
+    """Thomas Wang's 64-bit integer mix with ARITHMETIC right shifts —
+    the long-hash of the BLOOM_FILTER_UTF8 lineage (ORC C++/Java operate
+    on signed int64, so ``key >> n`` sign-extends; notably hash(0) == 0).
+    Validated round-5 against pyarrow-written UTF8 bloom files: 100%
+    present-value hit rate incl. 0 and negatives, ~fpp false positives
+    (tests/test_orc_bloom.py).  The logical-shift variant this replaced
+    was a guessed candidate that matches no real writer."""
     key &= _M64
     key = (~key + (key << 21)) & _M64
-    key ^= key >> 24
+    key ^= _asr64(key, 24)
     key = (key + (key << 3) + (key << 8)) & _M64
-    key ^= key >> 14
+    key ^= _asr64(key, 14)
     key = (key + (key << 2) + (key << 4)) & _M64
-    key ^= key >> 28
+    key ^= _asr64(key, 28)
     key = (key + (key << 31)) & _M64
     return key
 
@@ -112,14 +128,26 @@ _BYTES_KINDS = frozenset((7, 8, 16, 17))     # string, binary, varchar, char
 _TS_KIND = 9
 
 
-def probe_hashes(value, kind: int) -> list[int]:
+def probe_hashes(value, kind: int, lineage: str | None = None) -> list[int]:
     """Candidate 64-bit bloom hashes of ``value`` for an ORC column of
     ``kind``; empty when the kind has no validated bloom hashing
     (boolean, decimal, nested — boolean blooms are empty in practice).
-    Timestamp probes take epoch-MILLISECONDS in the writer's frame — only
+
+    ``lineage`` selects the integer hash, both pinned against golden
+    files (tests/test_orc_bloom.py):
+
+    - ``"legacy"`` (BLOOM_FILTER, Hive writerVersion=1 layout): Murmur3
+      hash64 of the value's 8 LE bytes — recovered from over1k_bloom.orc;
+    - ``"utf8"`` (BLOOM_FILTER_UTF8): signed-shift Thomas Wang mix —
+      recovered from pyarrow/ORC-C++ written files;
+    - ``None``: unknown lineage — BOTH candidates, and a stripe may be
+      skipped only when EVERY candidate misses (conservative).
+
+    Strings hash with Murmur3 over raw bytes in every lineage.  Timestamp
+    probes take epoch-MILLISECONDS in the writer's frame — only
     meaningful when the stripe footer records a writerTimezone (legacy
     files without one hashed local-JVM wall time, unrecoverable from the
-    file). A stripe may be skipped only when EVERY candidate misses."""
+    file)."""
     if kind in _BYTES_KINDS:
         if isinstance(value, str):
             raw = value.encode()
@@ -140,20 +168,33 @@ def probe_hashes(value, kind: int) -> list[int]:
         except (TypeError, ValueError):
             return []  # unprobeable value: never skip on it
         # timestamp probes take epoch-milliseconds (the writer's unit)
-        return [murmur3_hash64(struct.pack("<Q", v)), wang_long_hash(v)]
+        return _long_hashes(v, lineage)
     if kind in _FLOAT_KINDS:
         bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
-        return [murmur3_hash64(struct.pack("<Q", bits)), wang_long_hash(bits)]
+        return _long_hashes(bits, lineage)
     return []
 
 
+def _long_hashes(v: int, lineage: str | None) -> list[int]:
+    if lineage == "legacy":
+        return [murmur3_hash64(struct.pack("<Q", v))]
+    if lineage == "utf8":
+        return [wang_long_hash(v)]
+    return [murmur3_hash64(struct.pack("<Q", v)), wang_long_hash(v)]
+
+
 class BloomFilterIndex:
-    """Parsed BloomFilterIndex stream: one filter per row group."""
+    """Parsed BloomFilterIndex stream: one filter per row group.
+    ``lineage`` is "legacy" (Hive varint-bitset layout), "utf8"
+    (utf8bitset), or None (orc.proto fixed64 layout — integer hash
+    unknown, probe both candidates)."""
 
-    __slots__ = ("filters",)
+    __slots__ = ("filters", "lineage")
 
-    def __init__(self, filters: list[tuple[int, int, np.ndarray]]):
+    def __init__(self, filters: list[tuple[int, int, np.ndarray]],
+                 lineage: str | None = None):
         self.filters = filters  # [(num_hash_functions, num_bits, words)]
+        self.lineage = lineage
 
     @classmethod
     def parse(cls, raw: bytes | memoryview) -> "BloomFilterIndex":
@@ -175,6 +216,7 @@ class BloomFilterIndex:
         from .orcfile import _pb_fields, _pb_one
 
         out: list[tuple[int, int, np.ndarray]] = []
+        lineage: str | None = None
         for bf in _pb_fields(raw).get(1, []):
             f = _pb_fields(bf)
             f3 = f.get(3)
@@ -190,16 +232,18 @@ class BloomFilterIndex:
                 # rounds halfway values to even, deriving a different k on
                 # exact .5 and probing the wrong bits (silent row loss).
                 k = max(1, int(nbits / n * math.log(2) + 0.5))
+                lineage = "legacy"
             elif f3 is not None:  # BLOOM_FILTER_UTF8
                 k = _pb_one(f, 1, 0)
                 words = np.frombuffer(bytes(f3[0]), dtype="<u8")
                 nbits = len(words) * 64
+                lineage = "utf8"
             else:  # orc.proto BLOOM_FILTER: repeated fixed64
                 k = _pb_one(f, 1, 0)
                 words = np.array(f.get(2, []), dtype=np.uint64)
                 nbits = len(words) * 64
             out.append((int(k), nbits, words))
-        return cls(out)
+        return cls(out, lineage)
 
     def might_contain(self, hashes: list[int]) -> bool:
         """True if ANY row group's filter may contain the value under ANY

@@ -653,11 +653,13 @@ class ORCFile:
             return True
         if kind == 9 and self.writer_timezone(i) is None:
             return True
-        hashes = probe_hashes(value, kind)
-        if not hashes:
-            return True
         idx = self.bloom_index(i, column)
-        return idx.might_contain(hashes) if idx is not None else True
+        if idx is None:
+            return True
+        # lineage-aware: a known writer layout pins ONE integer hash
+        # (full skipping power); unknown layouts probe both candidates
+        hashes = probe_hashes(value, kind, idx.lineage)
+        return idx.might_contain(hashes) if hashes else True
 
     def _wanted_columns(self, columns: list[str] | None) -> set[int]:
         root = self.schema

