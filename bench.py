@@ -170,6 +170,22 @@ def run_headline(sf_dir: str, num_cpus: int, phases=("encode", "decode", "refere
         out["decode_gbps"] = round(out.get("encode_raw_gb", 0) / dec_sec, 4)
         out["decoded_rows"] = cs["count"]
 
+    if "size_mode" in phases:
+        # size-priority mode (EncoderConfig.size_priority): pure measured-
+        # size selection, no rle2 speed-bias — reports what the engine
+        # compresses to when bytes, not throughput, are the objective
+        sz_dir = f"{BENCH_BASE}/{name}/encoded-size-{num_cpus}"
+        if os.path.isdir(sz_dir):
+            shutil.rmtree(sz_dir)
+        t0 = time.perf_counter()
+        sz_summary = encode_job(paths, sz_dir,
+                                EncoderConfig.size_priority(
+                                    stripe_target_tokens=2_000_000))
+        out["queries"]["encode_size_mode"] = round(time.perf_counter() - t0, 3)
+        out["bytes_per_token_size_mode"] = round(
+            sz_summary["bytes_per_token"], 4)
+        shutil.rmtree(sz_dir, ignore_errors=True)
+
     if "reference" in phases:
         # reference algorithm stack: RLEv2 ints, dict/direct strings,
         # chunked zlib over streams — no FSST, no FOR (scritchley/orc's
@@ -217,7 +233,8 @@ def main() -> None:
                     help="run encode at two cpu counts in fresh processes")
     ap.add_argument("--scaling-cpus", default="8,32",
                     help="N,4N cpu pair for --scaling")
-    ap.add_argument("--phases", default="encode,decode,reference,queries")
+    ap.add_argument("--phases",
+                    default="encode,decode,size_mode,reference,queries")
     ap.add_argument("--rows", type=int, default=0,
                     help="override synthetic corpus rows")
     ap.add_argument("--scaling-rows", type=int, default=0,

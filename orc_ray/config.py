@@ -70,6 +70,20 @@ class EncoderConfig:
     # pipeline versions, etc. Surfaced by manifest_summary and CLI stats.
     user_metadata: dict = field(default_factory=dict)
 
+    @classmethod
+    def size_priority(cls, **overrides) -> "EncoderConfig":
+        """Smallest-output mode: pure measured-size codec selection
+        (``rle2_speed_tolerance=0`` — no vectorized-codec tie-break) and
+        the reference's chunked flate-6 as the outer stage instead of
+        zstd-1 (the round-4 speed default costs ~2% bytes/token; flate-6
+        costs ~11x the outer CPU).  Reclaims the full round-3 size point;
+        the default config remains the speed-balanced mode, both reported
+        by bench.py and documented in BASELINE.md."""
+        d = {"rle2_speed_tolerance": 0.0, "outer_compression": "zlib",
+             "zlib_level": 6}
+        d.update(overrides)
+        return cls(**d)
+
     def to_dict(self) -> dict:
         return {
             "stripe_target_tokens": self.stripe_target_tokens,

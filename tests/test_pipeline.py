@@ -67,6 +67,25 @@ def test_split_stripes_budget():
     assert len(stripes) >= int(n_tok.sum()) // 20_000
 
 
+def test_size_priority_mode(ray_session, token_shards, tmp_path):
+    """VERDICT r4 ask #6: EncoderConfig.size_priority() (pure measured-
+    size selection + flate-6 outer) must produce no more bytes than the
+    speed-balanced default on the same input, and decode back
+    bit-identically."""
+    out_bal = str(tmp_path / "bal")
+    out_sz = str(tmp_path / "sz")
+    bal = encode_job(token_shards, out_bal,
+                     EncoderConfig(stripe_target_tokens=100_000),
+                     concurrency=2)
+    sz = encode_job(token_shards, out_sz,
+                    EncoderConfig.size_priority(stripe_target_tokens=100_000),
+                    concurrency=2)
+    assert sz["encoded_bytes"] <= bal["encoded_bytes"]
+    a = decode_table(out_sz).sort_by("doc_id")
+    b = decode_table(out_bal).sort_by("doc_id")
+    assert a.equals(b)
+
+
 def test_encode_decode_verify_e2e(ray_session, token_shards, tmp_path):
     import ray.data
 
