@@ -13,6 +13,7 @@ routes through here).
 from __future__ import annotations
 
 import argparse
+import datetime
 import glob
 import json
 import sys
@@ -271,28 +272,48 @@ def cmd_import_orc(args) -> int:
         import pyarrow.compute as pc
 
         def _coerce(v: str):
-            for cast in (int, float):
+            for cast in (int, float, datetime.datetime.fromisoformat):
                 try:
                     return cast(v)
                 except ValueError:
                     pass
             return v
 
-        col, lo, hi = args.filter.split(":")
+        # COL:LO:HI, or COL:LO..HI when the bounds themselves contain
+        # colons (ISO timestamps)
+        if ".." in args.filter:
+            col, rng = args.filter.split(":", 1)
+            lo, hi = rng.split("..", 1)
+        else:
+            col, lo, hi = args.filter.split(":")
         lo, hi = _coerce(lo), _coerce(hi)
-        # timestamp columns: stats/blooms use epoch-ms, the exact filter
-        # the column's own unit — never prune on mismatched units
+        # timestamp columns: stats use epoch-ms while the exact filter
+        # compares decode-frame ns — prune through the explicit converter
+        from .sources.orcfile import (_read_stripe_pruned, _ts_pred_ns,
+                                      _ts_stat_bounds_ns)
+
         ckind = dict(zip(f.schema.field_names,
                          (c.kind for c in f.schema.children))).get(col)
-        stats = f.stripe_statistics() if ckind != 9 else []
+        stats = f.stripe_statistics()
+        plo_ns = _ts_pred_ns(lo) if ckind == 9 else None
+        phi_ns = _ts_pred_ns(hi) if ckind == 9 else None
 
         def _excluded(i: int) -> bool:
             if i >= len(stats):
                 return False
             s = stats[i].get(col)
+            if s is None:
+                return False
+            if ckind == 9:
+                if plo_ns is None or phi_ns is None:
+                    return False
+                lo_ns, hi_ns = _ts_stat_bounds_ns(
+                    s[0], s[1], f.writer_timezone(i))
+                return (hi_ns is not None and hi_ns < plo_ns) or \
+                       (lo_ns is not None and lo_ns > phi_ns)
             try:
-                return (s is not None and s[0] is not None
-                        and s[1] is not None and (s[1] < lo or s[0] > hi))
+                return (s[0] is not None and s[1] is not None
+                        and (s[1] < lo or s[0] > hi))
             except TypeError:
                 return False
 
@@ -305,8 +326,6 @@ def cmd_import_orc(args) -> int:
               f"{len(f.stripes) - len(keep) - n_stat} by bloom)",
               file=sys.stderr)
         want = cols if cols is None or col in cols else cols + [col]
-        from .sources.orcfile import _read_stripe_pruned
-
         # within surviving stripes, ROW_INDEX row-group stats prune
         # further and decode seeks to the candidate span
         parts = [_read_stripe_pruned(f, i, want, (col, lo, hi))

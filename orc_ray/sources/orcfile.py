@@ -310,6 +310,102 @@ def _unzig(v: int) -> int:
     return (v >> 1) ^ -(v & 1)
 
 
+class _TsMs(int):
+    """A timestamp statistic: epoch-milliseconds int, tagged with which
+    proto fields it came from.  ``utc=True`` means the tz-unambiguous
+    minimumUtc/maximumUtc fields (orc.proto TimestampStatistics 3/4,
+    ORC-135+ writers); ``utc=False`` means the legacy writer-local
+    min/max (fields 1/2), which need the stripe's writerTimezone to map
+    to an instant.  Subclassing int keeps generic stats consumers
+    (row_index tuples, CLI stats) working unchanged — comparisons with
+    non-numeric predicate values still raise TypeError and fall into the
+    existing never-prune guards."""
+
+    utc: bool
+
+    def __new__(cls, v: int, utc: bool):
+        o = super().__new__(cls, v)
+        o.utc = utc
+        return o
+
+
+# conservative slack when mapping timestamp statistics to decode-frame
+# epoch-ns bounds: ±1 s covers the pre-1970 ceiling-second decode quirk
+# and the writer's ms-floor; local-frame stats get ±2 h extra for any
+# DST/transition anomaly beyond the two fold offsets
+_TS_SLACK_NS = 1_000_000_000
+_TS_LOCAL_SLACK_NS = 2 * 3600 * 1_000_000_000
+
+
+def _ts_pred_ns(v):
+    """Predicate value -> epoch-ns int in the decode frame (UTC-instant
+    stored as tz-naive ``timestamp[ns]``), or None when the value isn't
+    datetime-like (no pruning then; the exact filter is authoritative)."""
+    import datetime as _dt
+    try:
+        if isinstance(v, pa.Scalar):
+            if not pa.types.is_timestamp(v.type) or v.value is None:
+                return None
+            mult = {"s": 10**9, "ms": 10**6, "us": 10**3, "ns": 1}[v.type.unit]
+            return int(v.value) * mult
+        if isinstance(v, np.datetime64):
+            return int(v.astype("datetime64[ns]").astype(np.int64))
+        if isinstance(v, _dt.datetime):
+            if v.tzinfo is not None:
+                d = v - _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+            else:
+                d = v - _dt.datetime(1970, 1, 1)
+            return int(d / _dt.timedelta(microseconds=1)) * 1000
+    except (TypeError, ValueError, OverflowError, KeyError):
+        return None
+    return None
+
+
+def _ts_stat_bounds_ns(lo, hi, tzname):
+    """Map a (min, max) pair of ``_TsMs`` statistics to conservative
+    decode-frame epoch-ns bounds ``(lo_ns, hi_ns)``; a side is None when
+    it cannot be bounded safely (never prune on it).  UTC-field stats map
+    directly (± slack); legacy writer-local stats are wall-clock ms and
+    need ``tzname`` — both DST folds are tried and the bounds widened so
+    no real transition can make pruning drop rows."""
+    lo_ns = hi_ns = None
+    if isinstance(lo, _TsMs):
+        if lo.utc:
+            lo_ns = int(lo) * 10**6 - _TS_SLACK_NS
+        elif tzname:
+            off = _tz_offsets_ms(int(lo), tzname)
+            if off is not None:
+                lo_ns = (int(lo) - off[1]) * 10**6 \
+                    - _TS_SLACK_NS - _TS_LOCAL_SLACK_NS
+    if isinstance(hi, _TsMs):
+        if hi.utc:
+            hi_ns = (int(hi) + 1) * 10**6 + _TS_SLACK_NS
+        elif tzname:
+            off = _tz_offsets_ms(int(hi), tzname)
+            if off is not None:
+                hi_ns = (int(hi) + 1 - off[0]) * 10**6 \
+                    + _TS_SLACK_NS + _TS_LOCAL_SLACK_NS
+    return lo_ns, hi_ns
+
+
+def _tz_offsets_ms(wall_ms: int, tzname: str):
+    """(min, max) UTC offset in ms a wall-clock instant ``wall_ms`` can
+    carry in ``tzname`` (both DST folds), or None when the zone is
+    unknown in this environment."""
+    import datetime as _dt
+    try:
+        from zoneinfo import ZoneInfo
+        tz = ZoneInfo(tzname)
+    except Exception:
+        return None
+    wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=wall_ms)
+    offs = []
+    for fold in (0, 1):
+        o = wall.replace(tzinfo=tz, fold=fold).utcoffset()
+        offs.append(int(o / _dt.timedelta(milliseconds=1)))
+    return min(offs), max(offs)
+
+
 def _stats_min_max(cs: dict, kind: int):
     """(min, max) from one ColumnStatistics message for comparable kinds
     (orc.proto:22-63 field numbers); (None, None) otherwise."""
@@ -348,11 +444,18 @@ def _stats_min_max(cs: dict, kind: int):
         sub = _pb_one(cs, 9)
         if sub is not None:
             f = _pb_fields(sub)
-            # prefer the tz-unambiguous UTC fields when the writer set them
-            lo = _pb_one(f, 3, _pb_one(f, 1))
-            hi = _pb_one(f, 4, _pb_one(f, 2))
-            return (_unzig(lo) if lo is not None else None,
-                    _unzig(hi) if hi is not None else None)
+            # prefer the tz-unambiguous UTC fields when the writer set
+            # them; tag which frame each side came from so pushdown can
+            # map ms -> decode-frame ns safely (_ts_stat_bounds_ns)
+            lo_u, hi_u = _pb_one(f, 3), _pb_one(f, 4)
+            lo_l, hi_l = _pb_one(f, 1), _pb_one(f, 2)
+            lo = (_TsMs(_unzig(lo_u), True) if lo_u is not None
+                  else _TsMs(_unzig(lo_l), False) if lo_l is not None
+                  else None)
+            hi = (_TsMs(_unzig(hi_u), True) if hi_u is not None
+                  else _TsMs(_unzig(hi_l), False) if hi_l is not None
+                  else None)
+            return (lo, hi)
     return (None, None)
 
 
@@ -1245,11 +1348,17 @@ def _read_stripe_pruned(fl: ORCFile, i: int, want, predicate) -> pa.Table:
             if nm == pcol:
                 colid, kind = ch.column, ch.kind
                 break
-    # kind 9: index stats are epoch-MILLISECONDS while the exact filter
-    # compares in the column's own unit — pruning on mismatched units
-    # would silently drop rows, so timestamps rely on the exact filter
-    if not stride or colid is None or kind == 9:
+    if not stride or colid is None:
         return fl.read_stripe(i, want)
+    # kind 9: index stats are epoch-MILLISECONDS while the exact filter
+    # compares in decode-frame ns — prune through the explicit converter
+    # (writerTimezone-aware), never the generic compare
+    plo_ns = phi_ns = tzname = None
+    if kind == 9:
+        plo_ns, phi_ns = _ts_pred_ns(lo), _ts_pred_ns(hi)
+        if plo_ns is None or phi_ns is None:
+            return fl.read_stripe(i, want)
+        tzname = fl.writer_timezone(i)
     ri = fl.row_index(i, colid)
     nrows = fl.stripes[i].number_of_rows
     if not ri or len(ri) < -(-nrows // stride):
@@ -1257,6 +1366,13 @@ def _read_stripe_pruned(fl: ORCFile, i: int, want, predicate) -> pa.Table:
         return fl.read_stripe(i, want)
     keep = []
     for g, (_, (gmin, gmax, _, _)) in enumerate(ri):
+        if kind == 9:
+            glo_ns, ghi_ns = _ts_stat_bounds_ns(gmin, gmax, tzname)
+            if (ghi_ns is not None and ghi_ns < plo_ns) or \
+                    (glo_ns is not None and glo_ns > phi_ns):
+                continue  # stats prove no row in this group can match
+            keep.append(g)
+            continue
         try:
             if gmin is not None and gmax is not None \
                     and (gmax < lo or gmin > hi):
@@ -1332,31 +1448,48 @@ def read_orc(paths: str | list[str], columns: list[str] | None = None,
         schema anchoring when everything was pruned)."""
         f = ORCFile(p)
         stats = f.stripe_statistics() if predicate else []
-        # timestamp stats are epoch-ms while the exact filter compares in
-        # the column's own unit; pruning on mismatched units would drop
-        # rows (same guard as _read_stripe_pruned)
         pkind = None
         if predicate and f.schema.kind == 12:
             for nm, ch in zip(f.schema.field_names, f.schema.children):
                 if nm == pcol:
                     pkind = ch.kind
                     break
+        # timestamp stats are epoch-ms while the exact filter compares in
+        # the column's own unit (decode-frame ns); kind 9 prunes through
+        # the explicit unit/timezone converter, never the generic compare
+        plo_ns = phi_ns = None
+        if predicate and pkind == 9:
+            plo_ns = _ts_pred_ns(predicate[1])
+            phi_ns = _ts_pred_ns(predicate[2])
         # bloom probes hash timestamps as writer-frame epoch-ms; a
         # predicate in any other unit would mis-probe, so kind 9 relies
-        # on the exact filter alone
+        # on stats pruning + the exact filter alone
         point = (predicate is not None and predicate[1] == predicate[2]
                  and pkind != 9)
         items: list[dict] = []
         for i in range(len(f.stripes)):
-            if predicate and i < len(stats) and pkind != 9:
+            if predicate and i < len(stats):
                 s = stats[i].get(pcol)
-                try:
-                    if s is not None and s[0] is not None \
-                            and s[1] is not None \
-                            and (s[1] < predicate[1] or s[0] > predicate[2]):
-                        continue  # stats prove no row can match
-                except TypeError:
-                    pass  # stats/predicate type mismatch: never prune
+                if pkind == 9:
+                    if s is not None and plo_ns is not None \
+                            and phi_ns is not None:
+                        tz = None
+                        if isinstance(s[0], _TsMs) and not s[0].utc \
+                                or isinstance(s[1], _TsMs) and not s[1].utc:
+                            tz = f.writer_timezone(i)
+                        lo_ns, hi_ns = _ts_stat_bounds_ns(s[0], s[1], tz)
+                        if (hi_ns is not None and hi_ns < plo_ns) or \
+                                (lo_ns is not None and lo_ns > phi_ns):
+                            continue  # stats prove no row can match
+                else:
+                    try:
+                        if s is not None and s[0] is not None \
+                                and s[1] is not None \
+                                and (s[1] < predicate[1]
+                                     or s[0] > predicate[2]):
+                            continue  # stats prove no row can match
+                    except TypeError:
+                        pass  # stats/predicate type mismatch: never prune
             if point and not f.bloom_might_contain(i, pcol, predicate[1]):
                 continue  # bloom filters prove no row can match
             items.append(f.stripe_spec(i))

@@ -333,3 +333,32 @@ def test_pyarrow_crosscheck_randomized_nested(tmp_path):
         for c in t.column_names:
             assert got.column(c).to_pylist() == t.column(c).to_pylist(), \
                 (seed, comp, c, null_p)
+
+
+def test_cli_import_orc_timestamp_filter(tmp_path, capsys):
+    """ISO-timestamp --filter (COL:LO..HI syntax): stripe statistics prune
+    kind-9 columns through the epoch-ms converter, results stay exact."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    n = 120000
+    ts = (1_600_000_000_000_000 + np.arange(n, dtype=np.int64) * 1_000_000)
+    t = pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "v": pa.array(np.arange(n), pa.int64()),
+        "pad": pa.array(rng.integers(0, 2**62, n)),
+    })
+    dst = str(tmp_path / "tsf.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    assert len(ORCFile(dst).stripes) > 2
+    out = str(tmp_path / "tsf.parquet")
+    assert main(["import-orc", dst, "--out", out, "--columns", "v",
+                 "--filter",
+                 "ts:2020-09-13T13:26:40..2020-09-13T13:43:20"]) == 0
+    capsys.readouterr()
+    got = pq.read_table(out)
+    lo_us = 1_600_003_600_000_000
+    hi_us = 1_600_004_600_000_000
+    want = [int(i) for i in range(n)
+            if lo_us <= ts[i] <= hi_us]
+    assert sorted(got.column("v").to_pylist()) == want

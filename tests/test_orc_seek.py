@@ -139,9 +139,9 @@ def test_read_orc_rowgroup_pushdown(ray_session, tmp_path):
 
 
 def test_timestamp_predicate_never_pruned_wrong(ray_session, tmp_path):
-    """Timestamp stats/blooms are epoch-ms while predicates arrive in the
-    column's own unit; pruning must be disabled for kind 9 so the exact
-    filter (which handles the unit correctly) is authoritative."""
+    """Timestamp stats are epoch-ms while predicates arrive in the
+    column's own unit; kind-9 pruning goes through the explicit
+    unit/timezone converter and must never lose rows."""
     import pyarrow.compute as pc
 
     from orc_ray.sources.orcfile import read_orc
@@ -160,3 +160,140 @@ def test_timestamp_predicate_never_pruned_wrong(ray_session, tmp_path):
     got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
                                            batch_size=None))
     assert sorted(got.column("v").to_pylist()) == list(range(15000, 15100))
+
+
+def test_timestamp_stripe_pushdown(ray_session, tmp_path):
+    """VERDICT r4 #8: timestamp predicates must PRUNE, not just filter —
+    stripe statistics (epoch-ms, UTC fields from modern writers) are
+    converted into the predicate's decode-frame ns so provably-empty
+    stripes are skipped with zero row loss."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources.orcfile import (_TsMs, _ts_pred_ns,
+                                         _ts_stat_bounds_ns, read_orc)
+
+    rng = np.random.default_rng(17)
+    n = 120000
+    ts = (1_600_000_000_000_000 + np.arange(n, dtype=np.int64) * 1_000_000)
+    t = pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "v": pa.array(np.arange(n), pa.int64()),
+        "pad": pa.array(rng.integers(0, 2**62, n)),  # incompressible
+    })
+    dst = str(tmp_path / "ts_multi.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=64 * 1024)
+    f = ORCFile(dst)
+    assert len(f.stripes) > 2
+    ss = f.stripe_statistics()
+    tzname = f.writer_timezone(0)
+
+    # modern writer: UTC-frame ms stats, tagged
+    s0 = ss[0]["ts"]
+    assert isinstance(s0[0], _TsMs) and s0[0].utc
+
+    # predicate wholly inside stripe 1: every other stripe's converted
+    # bounds must exclude it (the exact decision _plan_one makes)
+    s1 = ss[1]["ts"]
+    plo = pa.scalar((int(s1[0]) + 1000) * 10**6, pa.timestamp("ns"))
+    phi = pa.scalar((int(s1[0]) + 2000) * 10**6, pa.timestamp("ns"))
+    plo_ns, phi_ns = _ts_pred_ns(plo), _ts_pred_ns(phi)
+    pruned = 0
+    for i, s in enumerate(ss):
+        lo_ns, hi_ns = _ts_stat_bounds_ns(s["ts"][0], s["ts"][1], tzname)
+        excl = (hi_ns is not None and hi_ns < plo_ns) or \
+               (lo_ns is not None and lo_ns > phi_ns)
+        if i == 1:
+            assert not excl  # the matching stripe must survive
+        pruned += excl
+    assert pruned == len(ss) - 1  # all other stripes provably empty
+
+    # end-to-end: zero row loss vs the exact filter
+    ds = read_orc(dst, columns=["v"], predicate=("ts", plo, phi))
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    col = t.column("ts")
+    want = t.filter(pc.and_(pc.greater_equal(col, plo),
+                            pc.less_equal(col, phi)))
+    assert sorted(got.column("v").to_pylist()) == \
+        sorted(want.column("v").to_pylist())
+    assert got.num_rows > 0
+
+    # disjoint predicate -> everything pruned, typed-empty result
+    far = pa.scalar(10**18, pa.timestamp("ns"))
+    ds0 = read_orc(dst, columns=["v"], predicate=("ts", far, far))
+    assert ds0.count() == 0
+
+
+def test_timestamp_rowgroup_pushdown(ray_session, tmp_path):
+    """Row-group (ROW_INDEX) pruning for timestamp predicates: inside a
+    surviving stripe only the candidate group span decodes — proven by
+    making the full-stripe path raise."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources.orcfile import _read_stripe_pruned
+
+    n = 60000
+    ts = (1_500_000_000_000_000 + np.arange(n, dtype=np.int64) * 2_000_000)
+    t = pa.table({
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "v": pa.array(np.arange(n), pa.int64()),
+    })
+    dst = str(tmp_path / "ts_groups.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=500_000_000)
+    f = ORCFile(dst)
+    assert len(f.stripes) == 1 and f.row_index_stride == 10000
+
+    lo = pa.scalar(int(ts[25000]) * 1000, pa.timestamp("ns"))
+    hi = pa.scalar(int(ts[26000]) * 1000, pa.timestamp("ns"))
+    # prove the seeked path ran: full-stripe decode must not be reachable
+    orig = f.read_stripe
+    f.read_stripe = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("full-stripe decode on a prunable predicate"))
+    try:
+        got = _read_stripe_pruned(f, 0, ["ts", "v"], ("ts", lo, hi))
+    finally:
+        f.read_stripe = orig
+    col = t.column("ts")
+    want = t.filter(pc.and_(pc.greater_equal(col, lo),
+                            pc.less_equal(col, hi)))
+    mask = pc.and_(pc.greater_equal(got.column("ts"), lo),
+                   pc.less_equal(got.column("ts"), hi))
+    exact = got.filter(mask).sort_by("v")
+    assert exact.column("v").to_pylist() == want.column("v").to_pylist()
+    assert exact.column("ts").cast(pa.timestamp("us")).combine_chunks() \
+        .equals(want.column("ts").combine_chunks())
+
+    # all groups excluded -> typed empty without decoding
+    far = pa.scalar(10**18, pa.timestamp("ns"))
+    f.read_stripe = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("full-stripe decode on an all-pruned predicate"))
+    try:
+        empty = _read_stripe_pruned(f, 0, ["v"], ("ts", far, far))
+    finally:
+        f.read_stripe = orig
+    assert empty.num_rows == 0 and empty.column_names == ["v"]
+
+
+def test_timestamp_local_frame_stats_safe():
+    """Legacy writer-local (fields 1/2) timestamp stats convert through
+    writerTimezone with fold + slack widening: bounds must always contain
+    the true instant, and unknown zones must never prune."""
+    from orc_ray.sources.orcfile import _TsMs, _ts_stat_bounds_ns
+
+    # 2020-06-15 12:00:00 wall clock in LA == 19:00 UTC (PDT, -7h)
+    wall_ms = 1592222400000  # 2020-06-15T12:00:00 as if-UTC epoch ms
+    true_utc_ns = (wall_ms + 7 * 3600 * 1000) * 10**6
+    lo, hi = _TsMs(wall_ms, False), _TsMs(wall_ms, False)
+    lo_ns, hi_ns = _ts_stat_bounds_ns(lo, hi, "America/Los_Angeles")
+    assert lo_ns is not None and hi_ns is not None
+    assert lo_ns <= true_utc_ns <= hi_ns
+
+    # no timezone / unknown zone: cannot bound -> never prune
+    assert _ts_stat_bounds_ns(lo, hi, None) == (None, None)
+    assert _ts_stat_bounds_ns(lo, hi, "Not/AZone") == (None, None)
+
+    # UTC-tagged stats don't need a zone and bound tightly (± slack)
+    lo_u, hi_u = _TsMs(wall_ms, True), _TsMs(wall_ms, True)
+    lo_ns, hi_ns = _ts_stat_bounds_ns(lo_u, hi_u, None)
+    assert lo_ns == wall_ms * 10**6 - 10**9
+    assert hi_ns == (wall_ms + 1) * 10**6 + 10**9
