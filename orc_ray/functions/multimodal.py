@@ -1,12 +1,15 @@
 """Multimodal column stages: image/audio/video as opaque binary columns.
 
-The decode libraries (PIL/ffmpeg/torchaudio) are not in this container, so
-the *codec* step is stubbed — ``DETERMINISTIC_FAKE`` produces a seeded fake
-"decoded" tensor from the payload bytes, ``STRICT`` raises
-NotImplementedError — but all the Ray-side plumbing is real and tested:
-typed schema (binary payload + metadata struct columns), actor-pool
-map_batches stages with per-actor setup, small batch sizes for large
-payloads, and a stable output layout (fixed-size feature vectors).
+Three codec modes.  ``REAL`` actually decodes payloads — PNG images and
+RIFF/PCM WAV audio via the dependency-free numpy codecs in
+``pngcodec.py`` — and derives content features from real pixels/samples
+(video containers have no codec in this environment and raise).
+``DETERMINISTIC_FAKE`` produces a seeded fake "decoded" tensor from the
+payload digest; ``STRICT`` raises NotImplementedError.  All the
+Ray-side plumbing is identical and tested across modes: typed schema
+(binary payload + metadata struct columns), actor-pool map_batches
+stages with per-actor setup, small batch sizes for large payloads, and
+a stable output layout (fixed-size feature vectors).
 
 At 100 TB these stages are the canonical actor-pool pattern: model/codec
 loaded once per actor in __init__, ``batch_size`` sized so
@@ -32,6 +35,7 @@ MEDIA_SCHEMA = pa.schema([
 
 DETERMINISTIC_FAKE = "fake"
 STRICT = "strict"
+REAL = "real"
 
 
 def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
@@ -51,24 +55,99 @@ def synthesize_media(n: int = 64, seed: int = 42) -> pa.Table:
     }).cast(MEDIA_SCHEMA)
 
 
+def synthesize_real_media(n: int = 64, seed: int = 42) -> pa.Table:
+    """Deterministic media table whose payloads are REAL encoded files:
+    seeded-gradient PNG images and seeded-sine PCM WAVs, with metadata
+    matching the encoded content (so a real decode can be checked
+    against width/height/sample_rate)."""
+    from .pngcodec import encode_png, encode_wav
+
+    rng = np.random.default_rng(seed)
+    rows = {k: [] for k in ("media_id", "kind", "payload", "width",
+                            "height", "sample_rate", "n_frames")}
+    for i in range(n):
+        if i % 2 == 0:
+            h, w = int(rng.integers(8, 64)), int(rng.integers(8, 64))
+            c = int(rng.choice([1, 3, 4]))
+            yy, xx = np.mgrid[0:h, 0:w]
+            base = ((yy * 7 + xx * 13 + i) % 256).astype(np.uint8)
+            img = base if c == 1 else np.dstack(
+                [(base + 31 * k) % 256 for k in range(c)]).astype(np.uint8)
+            rows["kind"].append("image")
+            rows["payload"].append(encode_png(img))
+            rows["width"].append(w)
+            rows["height"].append(h)
+            rows["sample_rate"].append(0)
+            rows["n_frames"].append(1)
+        else:
+            rate = 16000
+            n_s = int(rng.integers(400, 4000))
+            t = np.arange(n_s, dtype=np.float64)
+            freq = 100.0 + (i % 17) * 50.0
+            s = (np.sin(2 * np.pi * freq * t / rate)
+                 * 12000).astype(np.int16)
+            rows["kind"].append("audio")
+            rows["payload"].append(encode_wav(s, rate))
+            rows["width"].append(0)
+            rows["height"].append(0)
+            rows["sample_rate"].append(rate)
+            rows["n_frames"].append(n_s)
+        rows["media_id"].append(i)
+    return pa.table({
+        "media_id": pa.array(rows["media_id"], pa.int64()),
+        "kind": pa.array(rows["kind"], pa.string()),
+        "payload": pa.array(rows["payload"], pa.binary()),
+        "width": pa.array(rows["width"], pa.int32()),
+        "height": pa.array(rows["height"], pa.int32()),
+        "sample_rate": pa.array(rows["sample_rate"], pa.int32()),
+        "n_frames": pa.array(rows["n_frames"], pa.int32()),
+    }).cast(MEDIA_SCHEMA)
+
+
 class MediaDecoder:
     """Actor-pool stage: decode payload -> fixed-size feature vector.
 
+    ``mode=REAL`` decodes real payloads — PNG via ``pngcodec.decode_png``
+    (features: 4x8 nearest-resized greyscale grid, /255) and WAV via
+    ``pngcodec.decode_wav`` (features: RMS over 32 equal segments,
+    /32768); video raises (no container codec in this environment).
     ``mode=DETERMINISTIC_FAKE`` derives a seeded feature vector from the
     payload digest (stable across runs/workers). ``mode=STRICT`` raises —
-    plug a real decoder (PIL.Image.open / soundfile / pyav) here.
+    the ``__init__`` hook is where a heavier decoder (libpng / ffmpeg /
+    soundfile) would be constructed once per actor.
     """
 
     FEATURE_DIM = 32
 
     def __init__(self, mode: str = DETERMINISTIC_FAKE):
         self.mode = mode
-        # real decoders would be constructed here, once per actor:
-        # self.image_decoder = PIL.Image; self.resampler = ...
-        if mode not in (DETERMINISTIC_FAKE, STRICT):
+        if mode == REAL:
+            # codec bound once per actor (the real-decoder analogue of
+            # loading libpng/ffmpeg handles here)
+            from . import pngcodec
+            self._codec = pngcodec
+        elif mode not in (DETERMINISTIC_FAKE, STRICT):
             raise ValueError(mode)
 
     def _decode_one(self, kind: str, payload: bytes) -> np.ndarray:
+        if self.mode == REAL:
+            if kind == "image":
+                img = self._codec.decode_png(payload)
+                grey = (img.astype(np.float32) if img.ndim == 2
+                        else img[..., :3].astype(np.float32).mean(axis=2))
+                grid = self._codec.resize_nearest(grey, 4, 8)
+                return (grid / 255.0).astype(np.float32).ravel()
+            if kind == "audio":
+                s, _rate = self._codec.decode_wav(payload)
+                x = (s.astype(np.float64) if s.ndim == 1
+                     else s.astype(np.float64).mean(axis=1))
+                segs = np.array_split(x, self.FEATURE_DIM)
+                rms = [np.sqrt((g * g).mean()) if len(g) else 0.0
+                       for g in segs]
+                return (np.asarray(rms, np.float32) / 32768.0)
+            raise NotImplementedError(
+                f"no {kind} container codec in this environment; plug "
+                "ffmpeg/pyav into MediaDecoder.__init__")
         if self.mode == STRICT:
             raise NotImplementedError(
                 f"no {kind} codec in this environment; install PIL/ffmpeg "

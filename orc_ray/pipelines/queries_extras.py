@@ -810,15 +810,17 @@ def q_ann_ivf(sf_dir: str):
 # --- multimodal ------------------------------------------------------------
 
 def q_media_decode(sf_dir: str):
-    """Actor-pool media decode over the synthetic media table (payload
-    bytes + typed metadata; deterministic fake codec) — rows-only check."""
+    """Actor-pool media decode over REAL encoded payloads (PNG images +
+    PCM WAV audio, decoded by the dependency-free numpy codecs) —
+    rows-only driver check; pixel/sample-level content is asserted in
+    tests/test_multimodal_real.py."""
     import ray.data
 
-    media = multimodal.synthesize_media(64, seed=42)
+    media = multimodal.synthesize_real_media(64, seed=42)
     # shard the input so the 4-actor pool actually receives 4+ blocks
     # (from_arrow yields ONE block otherwise — the pool would run 1 task)
     ds = ray.data.from_arrow(media).repartition(8)
-    return multimodal.decode_media_dataset(ds)
+    return multimodal.decode_media_dataset(ds, mode=multimodal.REAL)
 
 
 # --- windowed aggregate ----------------------------------------------------
