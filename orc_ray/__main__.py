@@ -319,7 +319,8 @@ def cmd_import_orc(args) -> int:
 
         keep = [i for i in range(len(f.stripes)) if not _excluded(i)]
         n_stat = len(f.stripes) - len(keep)
-        if lo == hi and ckind != 9:  # point lookup: bloom streams too
+        if lo == hi:  # point lookup: bloom streams too (kind 9 converts
+            # datetime predicates to UTC-ms inside bloom_might_contain)
             keep = [i for i in keep if f.bloom_might_contain(i, col, lo)]
         print(f"pruned {len(f.stripes) - len(keep)}/{len(f.stripes)} "
               f"stripes ({n_stat} by statistics, "

@@ -222,3 +222,55 @@ def test_probe_hashes_date_and_type_mismatches():
     assert probe_hashes(5, 7) == []
     assert probe_hashes(None, 8) == []
     assert probe_hashes("not-an-int", 4) == []  # unparseable int probe
+
+
+def test_bloom_timestamp_point_lookup(ray_session, tmp_path):
+    """Timestamp point predicates probe BLOOM_FILTER_UTF8 streams: the
+    modern writer hashes value.getTime() (UTC-instant epoch-ms floor) —
+    present instants always hit, and an in-range absent instant (which
+    stripe statistics can NOT prune) is proven absent by the filter."""
+    import numpy as np
+    import pyarrow.orc as paorc
+
+    n = 20000
+    ts = (1_600_000_000_000_000 + np.arange(n, dtype=np.int64) * 1_000_000)
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    dst = str(tmp_path / "ts_bloom.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=500_000_000,
+                      bloom_filter_columns=[1], bloom_filter_fpp=0.01)
+    f = ORCFile(dst)
+    idx = f.bloom_index(0, "ts")
+    assert idx is not None and idx.lineage == "utf8"
+
+    # present instants: 100% hits through every accepted predicate type
+    import datetime as dt
+    for i in (0, 7777, n - 1):
+        val_ns = int(ts[i]) * 1000
+        assert f.bloom_might_contain(0, "ts", int(ts[i] // 1000))  # epoch-ms
+        assert f.bloom_might_contain(
+            0, "ts", pa.scalar(val_ns, pa.timestamp("ns")))
+        assert f.bloom_might_contain(
+            0, "ts", dt.datetime(1970, 1, 1)
+            + dt.timedelta(microseconds=int(ts[i])))
+
+    # in-range absent instant (between two present ms values): stats keep
+    # the stripe, the bloom filter proves absence
+    absent = pa.scalar((int(ts[100] // 1000) + 1) * 10**6,
+                       pa.timestamp("ns"))
+    s = f.stripe_statistics()[0]["ts"]
+    assert s[0] is not None  # stats exist but cannot prune this value
+    assert not f.bloom_might_contain(0, "ts", absent)
+    ds0 = read_orc(dst, columns=["v"], predicate=("ts", absent, absent))
+    assert ds0.count() == 0
+
+    # present point predicate end-to-end: exactly the matching row
+    target = pa.scalar(int(ts[4321]) * 1000, pa.timestamp("ns"))
+    ds = read_orc(dst, columns=["v"], predicate=("ts", target, target))
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    assert got.column("v").to_pylist() == [4321]
+
+    # legacy/unknown lineages must stay inconclusive (never skip)
+    idx.lineage = None
+    assert f.bloom_might_contain is not None  # (probe path re-reads idx)
