@@ -122,22 +122,25 @@ def decode_png(data: bytes) -> np.ndarray:
             line = cur
         elif ft == 2:                     # Up
             line = (cur + prev) & 0xFF
+        elif ft == 1:                     # Sub: per-channel running sum
+            # line[x] = (cur[x] + line[x-bpp]) & 0xFF == cumsum mod 256
+            g = cur[: (stride // bpp) * bpp].reshape(-1, bpp)
+            line = (np.cumsum(g, axis=0, dtype=np.int64) & 0xFF) \
+                .astype(np.int16).reshape(-1)
         else:
+            if ft not in (3, 4):
+                raise CodecError(f"bad filter type {ft}")
             line = np.zeros(stride, np.int16)
-            # left-dependent filters: sequential over pixel groups,
-            # vectorized across the bpp channels of each group
+            # nonlinear left-dependent filters (Average/Paeth): sequential
+            # over pixel groups, vectorized across each group's channels
             for x in range(0, stride, bpp):
                 sl = slice(x, x + bpp)
                 left = line[x - bpp: x] if x else np.zeros(bpp, np.int16)
-                if ft == 1:               # Sub
-                    line[sl] = (cur[sl] + left) & 0xFF
-                elif ft == 3:             # Average
+                if ft == 3:               # Average
                     line[sl] = (cur[sl] + ((left + prev[sl]) >> 1)) & 0xFF
-                elif ft == 4:             # Paeth
+                else:                     # Paeth
                     ul = prev[x - bpp: x] if x else np.zeros(bpp, np.int16)
                     line[sl] = (cur[sl] + _paeth(left, prev[sl], ul)) & 0xFF
-                else:
-                    raise CodecError(f"bad filter type {ft}")
         out[y] = line.astype(np.uint8)
     img = out.reshape(h, w, c) if c > 1 else out.reshape(h, w)
     if color == 3:  # palette -> RGB (+A when tRNS present)

@@ -1148,8 +1148,13 @@ class _StripeDecoder:
             ns_part = nanos * mult
             # Java ORC quirk: pre-1970 values with nonzero nanos store the
             # *ceiling* second; readers subtract one second when
-            # seconds < 0 && nanos != 0 (TreeReaderFactory semantics).
-            abs_secs = abs_secs - ((abs_secs < 0) & (ns_part != 0))
+            # seconds < 0 && nanos > 0 (TreeReaderFactory semantics).
+            # pyarrow's Arrow->ORC adapter instead stores trunc-division
+            # seconds with NEGATIVE nanos (two's-complement in the
+            # "unsigned" SECONDARY stream, arithmetic-shift-decoded above)
+            # and no ceiling fixup — the plain sum is already the instant,
+            # so the fixup must never fire on negative nanos.
+            abs_secs = abs_secs - ((abs_secs < 0) & (ns_part > 0))
             total = abs_secs * 1_000_000_000 + ns_part
             return scatter(total, np.int64, pa.timestamp("ns"))
         if k == 15:

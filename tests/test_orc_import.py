@@ -362,3 +362,26 @@ def test_cli_import_orc_timestamp_filter(tmp_path, capsys):
     want = [int(i) for i in range(n)
             if lo_us <= ts[i] <= hi_us]
     assert sorted(got.column("v").to_pylist()) == want
+
+
+def test_pre1970_subsecond_pyarrow_convention(tmp_path):
+    """pyarrow's Arrow->ORC adapter stores pre-1970 sub-second instants as
+    trunc-division seconds + NEGATIVE nanos (no Java ceiling fixup); the
+    reader must decode both conventions — found via randomized pushdown
+    property testing (a present point predicate returned zero rows because
+    the decoded instant was exactly 1 s low)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate([
+        np.array([-210452589311032, -1, -999999, -1000000, 0, 1500000]),
+        rng.integers(-2 * 10**15, -10**9, 3000),      # deep pre-1970
+        rng.integers(-10**6, 10**6, 1000),            # around the epoch
+        (rng.integers(-10**9, 10**9, 500) * 10**6),   # exact seconds
+    ]).astype(np.int64)
+    t = pa.table({"ts": pa.array(vals.astype("datetime64[us]"))})
+    dst = str(tmp_path / "pre1970.orc")
+    paorc.write_table(t, dst, compression="zlib")
+    ours = ORCFile(dst).read_stripe(0).column("ts") \
+        .cast(pa.timestamp("us")).combine_chunks()
+    assert ours.equals(t.column("ts").combine_chunks())

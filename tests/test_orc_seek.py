@@ -297,3 +297,45 @@ def test_timestamp_local_frame_stats_safe():
     lo_ns, hi_ns = _ts_stat_bounds_ns(lo_u, hi_u, None)
     assert lo_ns == wall_ms * 10**6 - 10**9
     assert hi_ns == (wall_ms + 1) * 10**6 + 10**9
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_timestamp_pushdown_randomized_no_row_loss(ray_session, tmp_path,
+                                                   seed):
+    """Property: for random timestamp data (pre-1970 included, sub-ms
+    precision, unsorted) and random range/point predicates, read_orc with
+    pushdown returns EXACTLY the rows of a full-scan filter."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources.orcfile import read_orc
+
+    rng = np.random.default_rng(seed)
+    n = 30000
+    base = int(rng.integers(-2_000_000_000, 2_000_000_000)) * 1_000_000
+    vals = base + rng.integers(-10**15, 10**15, n)  # us, +-~30y spread
+    t = pa.table({"ts": pa.array(vals.astype("datetime64[us]")),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    dst = str(tmp_path / f"rand{seed}.orc")
+    paorc.write_table(t, dst, compression="zlib", stripe_size=256 * 1024)
+
+    qs = np.quantile(vals, [0.2, 0.4, 0.6, 0.8]).astype(np.int64)
+    cases = [
+        (int(qs[0]), int(qs[1])),             # interior range
+        (int(qs[2]), int(qs[2])),             # point (likely absent)
+        (int(vals[123]), int(vals[123])),     # present point
+        (int(vals.min()) - 10**9, int(qs[0])),  # left-open-ish
+        (int(qs[3]), int(vals.max()) + 10**9),  # right-open-ish
+        (int(vals.max()) + 10**10, int(vals.max()) + 10**10),  # empty
+    ]
+    for lo_us, hi_us in cases:
+        lo = pa.scalar(lo_us * 1000, pa.timestamp("ns"))
+        hi = pa.scalar(hi_us * 1000, pa.timestamp("ns"))
+        ds = read_orc(dst, columns=["v"], predicate=("ts", lo, hi))
+        got = sorted(pa.concat_tables(
+            ds.iter_batches(batch_format="pyarrow", batch_size=None)
+        ).column("v").to_pylist()) if ds.count() else []
+        col = t.column("ts")
+        want = t.filter(pc.and_(pc.greater_equal(col, lo),
+                                pc.less_equal(col, hi)))
+        assert got == sorted(want.column("v").to_pylist()), \
+            (seed, lo_us, hi_us)
