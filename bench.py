@@ -11,11 +11,12 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {...per-phase sec...}, "sf": ..., "num_cpus": N, ...extras}
 
---scaling: runs the encode phase at two cpu counts (default 4 and 16 = N and
-4N) in fresh processes on the same input and reports both throughputs +
-scaling efficiency — the sandbox substitute for the N vs 4N node criterion.
-(8v32 is also supported but saturates this VM's single memory bus; a real
-4N-node cluster has 4N memory buses.)
+--scaling: runs the encode phase at two cpu counts (default 8 and 32 = N and
+4N, --scaling-cpus picks the pair) in fresh processes on the same input and
+reports both throughputs + scaling efficiency — the sandbox substitute for
+the N vs 4N node criterion. (Both 8v32 and 4v16 saturate progressively more
+of this VM's SINGLE memory bus at the high end — the in-run memcpy control
+quantifies that ceiling; a real 4N-node cluster has 4N buses.)
 """
 
 from __future__ import annotations
