@@ -215,3 +215,49 @@ def test_export_int_sum_overflow_omitted(tmp_path):
     assert got.column("x").to_pylist() == [2**62] * 3
     ss = ORCFile(path).stripe_statistics()
     assert ss[0]["x"][0] == 2**62 and ss[0]["x"][1] == 2**62
+
+
+def test_full_migration_cycle(ray_session, tmp_path, capsys):
+    """The complete migration story round-trips: a foreign Apache-ORC
+    lake -> ingest-orc (native blobs + manifests) -> export-orc (a new
+    ORC lake) -> re-read by BOTH pyarrow.orc and our reader, row-identical
+    to the original data."""
+    import pyarrow.compute as pc
+
+    from orc_ray.__main__ import main
+    from orc_ray.sources.orcfile import read_orc
+
+    base = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    lake_in = tmp_path / "lake_in"
+    lake_in.mkdir()
+    for i in range(3):
+        part = base.slice(i * len(base) // 3,
+                          (i + 1) * len(base) // 3 - i * len(base) // 3)
+        paorc.write_table(part, str(lake_in / f"p{i}.orc"),
+                          compression="zlib")
+
+    enc = str(tmp_path / "native")
+    assert main(["ingest-orc", str(lake_in / "*.orc"), "--out", enc]) == 0
+    capsys.readouterr()
+    lake_out = str(tmp_path / "lake_out")
+    assert main(["export-orc", "--dir", enc, "--out", lake_out,
+                 "--rows-per-file", "400"]) == 0
+    capsys.readouterr()
+
+    import glob as _glob
+    parts = sorted(_glob.glob(f"{lake_out}/*.orc"))
+    assert len(parts) >= 2
+    key = base.column_names[0]
+    want = base.sort_by([(c, "ascending") for c in base.column_names])
+    # pyarrow re-reads the exported lake
+    via_pa = pa.concat_tables([paorc.read_table(p) for p in parts])
+    got_pa = via_pa.cast(base.schema).sort_by(
+        [(c, "ascending") for c in base.column_names])
+    assert got_pa.equals(want)
+    # our own distributed reader re-reads it too
+    ds = read_orc(parts)
+    got_own = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None)
+    ).cast(base.schema).sort_by(
+        [(c, "ascending") for c in base.column_names])
+    assert got_own.equals(want)
