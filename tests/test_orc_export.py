@@ -261,3 +261,37 @@ def test_full_migration_cycle(ray_session, tmp_path, capsys):
     ).cast(base.schema).sort_by(
         [(c, "ascending") for c in base.column_names])
     assert got_own.equals(want)
+
+
+def test_export_timestamp_stats_enable_pushdown(ray_session, tmp_path):
+    """Our writer emits UTC-frame TimestampStatistics (fields 3/4) and a
+    UTC writerTimezone, so exported files prune timestamp predicates
+    through read_orc's converter — and never lose rows."""
+    import pyarrow.compute as pc
+
+    from orc_ray.sources.orcfile import _TsMs, read_orc
+
+    n = 30000
+    ts = (1_600_000_000_000_000 + np.arange(n, dtype=np.int64) * 1_000_000)
+    t = pa.table({"ts": pa.array(ts.astype("datetime64[us]")),
+                  "v": pa.array(np.arange(n), pa.int64())})
+    dst = str(tmp_path / "own_ts.orc")
+    with open(dst, "wb") as fh:
+        write_orc_file(t, fh, compression="zlib", stripe_rows=10000)
+    f = ORCFile(dst)
+    assert len(f.stripes) == 3 and f.writer_timezone(0) == "UTC"
+    s = f.stripe_statistics()[0]["ts"]
+    assert isinstance(s[0], _TsMs) and s[0].utc
+
+    # predicate inside stripe 1 only; zero row loss, exact rows
+    lo = pa.scalar(int(ts[12000]) * 1000, pa.timestamp("ns"))
+    hi = pa.scalar(int(ts[12999]) * 1000, pa.timestamp("ns"))
+    ds = read_orc(dst, columns=["v"], predicate=("ts", lo, hi))
+    got = pa.concat_tables(ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=None))
+    assert sorted(got.column("v").to_pylist()) == list(range(12000, 13000))
+
+    # disjoint predicate: all three stripes provably empty
+    far = pa.scalar(10**18, pa.timestamp("ns"))
+    assert read_orc(dst, columns=["v"],
+                    predicate=("ts", far, far)).count() == 0
