@@ -295,3 +295,57 @@ def test_export_timestamp_stats_enable_pushdown(ray_session, tmp_path):
     far = pa.scalar(10**18, pa.timestamp("ns"))
     assert read_orc(dst, columns=["v"],
                     predicate=("ts", far, far)).count() == 0
+
+
+def test_export_randomized_deep_nested(tmp_path):
+    """Randomized DEEPLY-nested schemas through OUR writer -> pyarrow's
+    reader and our own: list<struct<.., list<int>>>, map<string, struct>,
+    struct<struct>, at every null density — the write-direction mirror of
+    the reader's randomized cross-check."""
+    rng = np.random.default_rng(20260819)
+    for seed in range(4):
+        n = int(rng.integers(1, 2000))
+        null_p = float(rng.choice([0.0, 0.15, 0.9]))
+
+        def nulls(vals):
+            return [None if rng.random() < null_p else v for v in vals]
+
+        def rand_li():
+            return rng.integers(0, 100, int(rng.integers(0, 4))).tolist()
+
+        t = pa.table({
+            "lst": pa.array(
+                nulls([[{"a": int(j), "xs": rand_li()}
+                        for j in range(int(rng.integers(0, 3)))]
+                       for _ in range(n)]),
+                pa.list_(pa.struct([("a", pa.int64()),
+                                    ("xs", pa.list_(pa.int64()))]))),
+            "mst": pa.array(
+                nulls([[(f"k{j}", {"v": int(rng.integers(0, 99)),
+                                   "w": f"s{j}"})
+                        for j in range(int(rng.integers(0, 3)))]
+                       for _ in range(n)]),
+                pa.map_(pa.string(),
+                        pa.struct([("v", pa.int64()), ("w", pa.string())]))),
+            "sst": pa.array(
+                nulls([{"in": {"x": int(v), "y": float(v) / 3.0},
+                        "tag": f"t{int(v) % 5}"}
+                       for v in rng.integers(0, 999, n)]),
+                pa.struct([("in", pa.struct([("x", pa.int64()),
+                                             ("y", pa.float64())])),
+                           ("tag", pa.string())])),
+            "plain": pa.array(nulls(rng.integers(-2**40, 2**40, n).tolist()),
+                              pa.int64()),
+        })
+        comp = ["zlib", "snappy", "none", "zstd"][seed % 4]
+        path = str(tmp_path / f"deep{seed}.orc")
+        write_orc_file(t, path, compression=comp, stripe_rows=700)
+        via_pa = paorc.read_table(path)
+        mine = ORCFile(path).read()
+        assert via_pa.num_rows == mine.num_rows == n, (seed, comp)
+        for c in t.column_names:
+            want = t.column(c).to_pylist()
+            assert via_pa.column(c).to_pylist() == want, \
+                ("pyarrow", seed, comp, c, null_p)
+            assert mine.column(c).to_pylist() == want, \
+                ("own", seed, comp, c, null_p)
