@@ -340,7 +340,11 @@ def main() -> None:
     if "queries" in phases:
         run_oracle_queries(args.sf_dir, out)
 
-    total = sum(v for v in out["queries"].values())
+    # encode_size_mode is a DIAGNOSTIC second encode of the same input
+    # (size-priority config); excluding it keeps the headline total
+    # comparable across rounds that predate the two-mode report
+    total = sum(v for k, v in out["queries"].items()
+                if k != "encode_size_mode")
     line = {
         "metric": "encode+decode+verify wall time (headline token pipeline)",
         "value": round(total, 3),

@@ -271,14 +271,6 @@ def cmd_import_orc(args) -> int:
     if args.filter:
         import pyarrow.compute as pc
 
-        def _coerce(v: str):
-            for cast in (int, float, datetime.datetime.fromisoformat):
-                try:
-                    return cast(v)
-                except ValueError:
-                    pass
-            return v
-
         # COL:LO:HI, or COL:LO..HI when the bounds themselves contain
         # colons (ISO timestamps)
         if ".." in args.filter:
@@ -286,7 +278,6 @@ def cmd_import_orc(args) -> int:
             lo, hi = rng.split("..", 1)
         else:
             col, lo, hi = args.filter.split(":")
-        lo, hi = _coerce(lo), _coerce(hi)
         # timestamp columns: stats use epoch-ms while the exact filter
         # compares decode-frame ns — prune through the explicit converter
         from .sources.orcfile import (_read_stripe_pruned, _ts_pred_ns,
@@ -294,6 +285,20 @@ def cmd_import_orc(args) -> int:
 
         ckind = dict(zip(f.schema.field_names,
                          (c.kind for c in f.schema.children))).get(col)
+
+        def _coerce(v: str):
+            # ISO-datetime parsing ONLY for timestamp columns — a string
+            # column holding date-shaped strings must keep string bounds
+            casts = ((int, float, datetime.datetime.fromisoformat)
+                     if ckind == 9 else (int, float))
+            for cast in casts:
+                try:
+                    return cast(v)
+                except ValueError:
+                    pass
+            return v
+
+        lo, hi = _coerce(lo), _coerce(hi)
         stats = f.stripe_statistics()
         plo_ns = _ts_pred_ns(lo) if ckind == 9 else None
         phi_ns = _ts_pred_ns(hi) if ckind == 9 else None

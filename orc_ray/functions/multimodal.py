@@ -133,8 +133,14 @@ class MediaDecoder:
         if self.mode == REAL:
             if kind == "image":
                 img = self._codec.decode_png(payload)
-                grey = (img.astype(np.float32) if img.ndim == 2
-                        else img[..., :3].astype(np.float32).mean(axis=2))
+                if img.ndim == 2:
+                    grey = img.astype(np.float32)
+                elif img.shape[2] == 2:
+                    # grey+alpha: luminance is channel 0 — averaging in
+                    # the alpha plane would corrupt the features
+                    grey = img[..., 0].astype(np.float32)
+                else:
+                    grey = img[..., :3].astype(np.float32).mean(axis=2)
                 grid = self._codec.resize_nearest(grey, 4, 8)
                 return (grid / 255.0).astype(np.float32).ravel()
             if kind == "audio":

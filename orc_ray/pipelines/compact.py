@@ -77,7 +77,9 @@ class CompactionWorker:
             from ..state import storage
 
             if storage.exists(mpath):  # resume / retried task
-                all_rows.extend(pq.read_table(mpath).to_pylist())
+                # route through the storage backend — a raw pq.read_table
+                # cannot resolve subtree+local:// / object-store URIs
+                all_rows.extend(mf.read_manifest_file(mpath).to_pylist())
                 continue
             stripes = json.loads(row["stripes_json"])
             man = pa.table({

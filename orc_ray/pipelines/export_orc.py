@@ -10,17 +10,25 @@ The reference's writer is single-threaded per file by design
 file from one Arrow batch, so export throughput scales with partitions
 and no driver materialization happens at any size.
 
-Part names are CONTENT-ADDRESSED (crc32 of the finished file bytes), so a
-retried task rewrites the identical name — idempotent under Ray task
-retry, and a re-run over identical input is a no-op per part (the same
-resume-by-naming contract the native encoder's manifests use).
+Part names are CONTENT-ADDRESSED (md5 of the finished file bytes — a
+32-bit crc would birthday-collide near ~77k parts and silently drop a
+distinct batch), so a retried task rewrites the identical name —
+idempotent under Ray task retry, and a re-run over identical input is a
+no-op per part (the same resume-by-naming contract the native encoder's
+manifests use).  Consequence, by design: two BYTE-IDENTICAL batches
+coalesce into one part file (content addressing cannot distinguish "my
+retried self" from "an identical twin" without task identity, and retry
+idempotence is the harder correctness requirement); the returned
+manifest still carries one row per input batch, so
+``sum(num_rows)`` counts source rows while the directory holds each
+unique part once.
 """
 
 from __future__ import annotations
 
+import hashlib
 import io
 import os
-import zlib
 
 import pyarrow as pa
 
@@ -32,8 +40,8 @@ def _write_part(batch: pa.Table, out_dir: str, compression: str) -> pa.Table:
     buf = io.BytesIO()
     info = write_orc_file(batch, buf, compression=compression)
     data = buf.getvalue()
-    tag = zlib.crc32(data) & 0xFFFFFFFF
-    name = f"part-{tag:08x}-{batch.num_rows}.orc"
+    tag = hashlib.md5(data).hexdigest()
+    name = f"part-{tag}-{batch.num_rows}.orc"
     path = storage.join(out_dir, name)
     if not storage.exists(path):  # content-addressed: retries are no-ops
         storage.write_file_atomic(path, data)

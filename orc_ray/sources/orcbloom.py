@@ -170,7 +170,10 @@ def probe_hashes(value, kind: int, lineage: str | None = None) -> list[int]:
         # timestamp probes take epoch-milliseconds (the writer's unit)
         return _long_hashes(v, lineage)
     if kind in _FLOAT_KINDS:
-        bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
+        try:
+            bits = struct.unpack("<Q", struct.pack("<d", float(value)))[0]
+        except (TypeError, ValueError):
+            return []  # unprobeable value: never skip on it
         return _long_hashes(bits, lineage)
     return []
 

@@ -128,7 +128,12 @@ def _build_node(t: pa.DataType, ctr: list[int]) -> _Node:
     nid = ctr[0]
     ctr[0] += 1
     if pa.types.is_dictionary(t):
-        return _build_node(t.value_type, [nid])
+        # unwrap in place: roll the SHARED counter back so the value
+        # type (and any children it has) takes nid and the ids that
+        # follow — a forked counter would duplicate ids for nested
+        # value types
+        ctr[0] = nid
+        return _build_node(t.value_type, ctr)
     if pa.types.is_boolean(t):
         return _Node(nid, 0)
     if t.id in _INT_KINDS:
@@ -325,7 +330,12 @@ class _StripeEncoder:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if pa.types.is_dictionary(arr.type):
-            arr = arr.cast(arr.type.value_type)
+            try:
+                arr = arr.cast(arr.type.value_type)
+            except pa.lib.ArrowNotImplementedError:
+                # nested value types can't cast; materialize via take
+                # (null indices stay null)
+                arr = arr.dictionary.take(arr.indices)
         n = len(arr)
         null_count = arr.null_count
         if null_count:

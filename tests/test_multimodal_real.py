@@ -170,8 +170,12 @@ def test_media_decoder_real_content(ray_session):
             img = decode_png(m["payload"])
             # decoded dimensions must match the table's metadata
             assert img.shape[0] == m["height"] and img.shape[1] == m["width"]
-            grey = (img.astype(np.float32) if img.ndim == 2
-                    else img[..., :3].astype(np.float32).mean(axis=2))
+            if img.ndim == 2:
+                grey = img.astype(np.float32)
+            elif img.shape[2] == 2:
+                grey = img[..., 0].astype(np.float32)
+            else:
+                grey = img[..., :3].astype(np.float32).mean(axis=2)
             want = (resize_nearest(grey, 4, 8) / 255.0).astype(
                 np.float32).ravel()
         else:
@@ -205,3 +209,15 @@ def test_q_media_decode_runs_real(ray_session):
     out = q_media_decode("/root/testdata/sf0.001")
     rows = out.take_all() if hasattr(out, "take_all") else out
     assert len(rows) == 64
+
+
+def test_media_decoder_grey_alpha_uses_luminance():
+    """Grey+alpha PNGs: features come from channel 0 only — a fully
+    opaque alpha plane must not shift them."""
+    rng = np.random.default_rng(3)
+    grey = rng.integers(0, 256, (16, 16), dtype=np.uint8)
+    ga = np.dstack([grey, np.full((16, 16), 255, np.uint8)])
+    dec = multimodal.MediaDecoder(mode=multimodal.REAL)
+    f_ga = dec._decode_one("image", encode_png(ga))
+    f_g = dec._decode_one("image", encode_png(grey))
+    np.testing.assert_array_equal(f_ga, f_g)

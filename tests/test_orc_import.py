@@ -385,3 +385,25 @@ def test_pre1970_subsecond_pyarrow_convention(tmp_path):
     ours = ORCFile(dst).read_stripe(0).column("ts") \
         .cast(pa.timestamp("us")).combine_chunks()
     assert ours.equals(t.column("ts").combine_chunks())
+
+
+def test_cli_filter_date_shaped_strings_on_string_column(tmp_path, capsys):
+    """ISO-date-shaped bounds on a STRING column must stay string bounds
+    (datetime coercion applies only to timestamp columns) — the string
+    comparison and pruning work, and nothing crashes."""
+    t = pa.table({
+        "day": pa.array([f"2021-{m:02d}-15" for m in range(1, 13)] * 50),
+        "v": pa.array(range(600), pa.int64()),
+    })
+    dst = str(tmp_path / "days.orc")
+    paorc.write_table(t, dst, compression="zlib")
+    out = str(tmp_path / "days.parquet")
+    assert main(["import-orc", dst, "--out", out,
+                 "--filter", "day:2021-03-01..2021-04-30"]) == 0
+    capsys.readouterr()
+    got = pq.read_table(out)
+    want = [v for d, v in zip(t.column("day").to_pylist(),
+                              t.column("v").to_pylist())
+            if "2021-03-01" <= d <= "2021-04-30"]
+    assert sorted(got.column("v").to_pylist()) == sorted(want)
+    assert len(want) == 100  # months 03 and 04
