@@ -272,16 +272,22 @@ def cmd_import_orc(args) -> int:
         import pyarrow.compute as pc
 
         # COL:LO:HI, or COL:LO..HI when the bounds themselves contain
-        # colons (ISO timestamps)
-        if ".." in args.filter:
+        # colons (ISO timestamps).  The 3-way colon split is the primary
+        # syntax and wins whenever it parses — bounds that merely
+        # CONTAIN ".." (e.g. relative paths) must not trip the range form
+        try:
+            col, lo, hi = args.filter.split(":")
+        except ValueError:
+            if ".." not in args.filter:
+                raise SystemExit(
+                    f"bad --filter {args.filter!r}: want COL:LO:HI or "
+                    "COL:LO..HI")
             col, rng = args.filter.split(":", 1)
             lo, hi = rng.split("..", 1)
-        else:
-            col, lo, hi = args.filter.split(":")
         # timestamp columns: stats use epoch-ms while the exact filter
         # compares decode-frame ns — prune through the explicit converter
         from .sources.orcfile import (_read_stripe_pruned, _ts_pred_ns,
-                                      _ts_stat_bounds_ns)
+                                      _ts_stat_bounds_ns, _TsMs)
 
         ckind = dict(zip(f.schema.field_names,
                          (c.kind for c in f.schema.children))).get(col)
@@ -312,8 +318,13 @@ def cmd_import_orc(args) -> int:
             if ckind == 9:
                 if plo_ns is None or phi_ns is None:
                     return False
-                lo_ns, hi_ns = _ts_stat_bounds_ns(
-                    s[0], s[1], f.writer_timezone(i))
+                # fetch the stripe footer's tz only when a stat side is
+                # writer-local; UTC-tagged (ORC-135) stats ignore it
+                tz = None
+                if (isinstance(s[0], _TsMs) and not s[0].utc) or \
+                        (isinstance(s[1], _TsMs) and not s[1].utc):
+                    tz = f.writer_timezone(i)
+                lo_ns, hi_ns = _ts_stat_bounds_ns(s[0], s[1], tz)
                 return (hi_ns is not None and hi_ns < plo_ns) or \
                        (lo_ns is not None and lo_ns > phi_ns)
             try:

@@ -396,13 +396,16 @@ def _tz_offsets_ms(wall_ms: int, tzname: str):
     try:
         from zoneinfo import ZoneInfo
         tz = ZoneInfo(tzname)
+        # a corrupt / far-out-of-range stat overflows datetime; treat it
+        # as "cannot convert" (caller then never prunes) instead of
+        # crashing the whole plan
+        wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=wall_ms)
+        offs = []
+        for fold in (0, 1):
+            o = wall.replace(tzinfo=tz, fold=fold).utcoffset()
+            offs.append(int(o / _dt.timedelta(milliseconds=1)))
     except Exception:
         return None
-    wall = _dt.datetime(1970, 1, 1) + _dt.timedelta(milliseconds=wall_ms)
-    offs = []
-    for fold in (0, 1):
-        o = wall.replace(tzinfo=tz, fold=fold).utcoffset()
-        offs.append(int(o / _dt.timedelta(milliseconds=1)))
     return min(offs), max(offs)
 
 
@@ -1256,7 +1259,12 @@ class _StripeDecoder:
             null_count=n - nv if has_null else 0)
 
     def _decimal(self, t, n, nv, present) -> pa.Array:
-        from decimal import Decimal
+        from decimal import MAX_PREC, Context, Decimal
+
+        # the default decimal context rounds at 28 significant digits;
+        # decimal128 mantissas carry up to 38 — rescale under a wide
+        # context or low digits are silently lost
+        ctx = Context(prec=MAX_PREC)
         buf = self.streams.get((t.column, _KIND_DATA), b"")
         scales = self._ints(t.column, _KIND_SECONDARY, nv, signed=True)
         mants: list[int] = []
@@ -1283,8 +1291,9 @@ class _StripeDecoder:
             if present[i]:
                 m, s = mants[j], int(scales[j])
                 j += 1
-                vals[i] = Decimal(m).scaleb(-s).scaleb(tscale).to_integral_value() \
-                    .scaleb(-tscale)
+                vals[i] = Decimal(m).scaleb(-s, context=ctx) \
+                    .scaleb(tscale, context=ctx) \
+                    .to_integral_value().scaleb(-tscale, context=ctx)
         return pa.array(vals, type=pa.decimal128(max(prec, tscale + 1), tscale))
 
     def _union(self, t, n, nv, present) -> pa.Array:

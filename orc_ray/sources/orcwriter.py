@@ -45,6 +45,7 @@ names.
 
 from __future__ import annotations
 
+import decimal
 import struct
 from dataclasses import dataclass, field
 
@@ -363,6 +364,15 @@ class _StripeEncoder:
             self._int_stats(st, raw, nv, null_count)
             enc = _ENC_DIRECT
         elif k in (1, 2, 3, 4):
+            if pa.types.is_unsigned_integer(vals.type) and \
+                    vals.type.bit_width == 64 and nv:
+                u = _np_of(vals, np.uint64)
+                if int(u.max()) > np.iinfo(np.int64).max:
+                    # ORC long is signed; wrapping would silently corrupt
+                    # both the data and the min/max/sum statistics
+                    raise ValueError(
+                        "uint64 values above 2**63-1 cannot be "
+                        "represented in ORC long")
             v = _np_of(vals, np.int64)
             self._put(node.id, _KIND_DATA, rle2.encode(v, signed=True))
             self._int_stats(st, v, nv, null_count)
@@ -512,11 +522,15 @@ class _StripeEncoder:
     def _decimal(self, node, vals, st, nv, null_count) -> None:
         out = bytearray()
         scale = node.scale
+        # the default decimal context rounds at 28 significant digits while
+        # decimal128 carries up to 38 — scaleb must run wide or mantissas
+        # silently lose their low digits
+        ctx = decimal.Context(prec=decimal.MAX_PREC)
         for d in vals:
             # unbounded zigzag base-128 varint mantissa (decimal.go:53-79);
             # mantissas can exceed 64 bits so this is a per-value loop —
             # decimal columns are cold path
-            m = int(d.as_py().scaleb(scale))
+            m = int(d.as_py().scaleb(scale, context=ctx))
             u = (-m << 1) - 1 if m < 0 else m << 1  # unbounded zigzag
             while True:
                 b = u & 0x7F
@@ -549,11 +563,21 @@ class _StripeEncoder:
         tag_to_sub = {}
         for sub, i in enumerate(real):
             tag_to_sub[vals.type.type_codes[i]] = (sub, i)
-        out_tags = np.empty(nv, dtype=np.uint8)
+        # entries tagged with a null-type variant are ORC nulls: emit a
+        # PRESENT stream and keep them out of the tag/child streams
+        # (otherwise their tag bytes would be uninitialized memory)
+        valid = np.isin(tags, np.array(sorted(tag_to_sub), dtype=np.int8)) \
+            if nv else np.empty(0, bool)
+        n_null = int(nv - valid.sum()) if nv else 0
+        if n_null:
+            self._put(node.id, _KIND_PRESENT, byterle.encode_bools(valid))
+            tags = tags[valid]
+            offs = offs[valid]
+        out_tags = np.empty(len(tags), dtype=np.uint8)
         for code, (sub, _) in tag_to_sub.items():
             out_tags[tags == code] = sub
         self._put(node.id, _KIND_DATA, byterle.encode_bytes(out_tags))
-        st.add(nv, null_count > 0)
+        st.add(nv - n_null, null_count > 0 or n_null > 0)
         for code, (sub, i) in sorted(tag_to_sub.items(),
                                      key=lambda kv: kv[1][0]):
             sel = tags == code

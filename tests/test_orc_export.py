@@ -205,6 +205,53 @@ def test_export_empty_and_single_row(tmp_path):
     _roundtrip_both(t.slice(0, 1), str(tmp_path / "one.orc"))
 
 
+def test_export_decimal_wide_mantissa_exact(tmp_path):
+    """Mantissas beyond the default decimal context's 28 significant
+    digits must round-trip exactly (decimal128 carries up to 38)."""
+    vals = [decimal.Decimal("123456789012345678901234567890.12345678"),
+            decimal.Decimal("-99999999999999999999999999999.99999999"),
+            decimal.Decimal("0.00000001")]
+    t = pa.table({"d": pa.array(vals, pa.decimal128(38, 8))})
+    path = str(tmp_path / "wide_dec.orc")
+    write_orc_file(t, path)
+    for got in (paorc.ORCFile(path).read(), ORCFile(path).read()):
+        col = got.column("d").combine_chunks()
+        if col.type != t.column("d").type:
+            col = col.cast(t.column("d").type)
+        assert col.to_pylist() == vals
+
+
+def test_export_union_null_variant_entries(tmp_path):
+    """Entries tagged with a null-type variant (our reader's import
+    convention for ORC union nulls) export as PRESENT=0 nulls — never as
+    uninitialized tag bytes — and round-trip through our reader."""
+    types = pa.array([0, 2, 1, 2, 0], pa.int8())
+    offsets = pa.array([0, 0, 0, 1, 1], pa.int32())
+    u = pa.UnionArray.from_dense(
+        types, offsets,
+        [pa.array([1, 2], pa.int64()), pa.array(["a"], pa.string()),
+         pa.nulls(2)])
+    path = str(tmp_path / "union_nulls.orc")
+    write_orc_file(pa.table({"u": u}), path)
+    got = ORCFile(path).read().column("u").to_pylist()
+    assert got == [1, None, "a", None, 2]
+    ss = ORCFile(path).stripe_statistics()
+    assert ss  # file parses; stats present
+
+
+def test_export_uint64_above_int63_raises(tmp_path):
+    """ORC long is signed: uint64 values above 2**63-1 must raise a clear
+    error instead of silently wrapping negative (data + stats corruption);
+    in-range uint64 exports fine."""
+    big = pa.table({"u": pa.array([2**64 - 1, 1], pa.uint64())})
+    with pytest.raises(ValueError, match="uint64"):
+        write_orc_file(big, str(tmp_path / "bad.orc"))
+    ok = pa.table({"u": pa.array([2**63 - 1, 0, 42], pa.uint64())})
+    path = str(tmp_path / "ok.orc")
+    write_orc_file(ok, path)
+    assert ORCFile(path).read().column("u").to_pylist() == [2**63 - 1, 0, 42]
+
+
 def test_export_int_sum_overflow_omitted(tmp_path):
     """Java omits the int sum stat on overflow; so do we (sum absent, not
     wrapped)."""

@@ -407,3 +407,40 @@ def test_cli_filter_date_shaped_strings_on_string_column(tmp_path, capsys):
             if "2021-03-01" <= d <= "2021-04-30"]
     assert sorted(got.column("v").to_pylist()) == sorted(want)
     assert len(want) == 100  # months 03 and 04
+
+
+def test_cli_filter_bounds_containing_dotdot_on_string_column(tmp_path,
+                                                              capsys):
+    """COL:LO:HI is the primary --filter syntax and must win whenever it
+    parses — string bounds that merely CONTAIN '..' (relative paths) must
+    not trip the COL:LO..HI range form and silently shift the bounds."""
+    t = pa.table({
+        "path": pa.array([f"../logs/{c}.txt" for c in "abcdefgh"] * 10),
+        "v": pa.array(range(80), pa.int64()),
+    })
+    dst = str(tmp_path / "paths.orc")
+    paorc.write_table(t, dst, compression="zlib")
+    out = str(tmp_path / "paths.parquet")
+    assert main(["import-orc", dst, "--out", out,
+                 "--filter", "path:../logs/a.txt:../logs/b.txt"]) == 0
+    capsys.readouterr()
+    got = pq.read_table(out)
+    want = [v for p, v in zip(t.column("path").to_pylist(),
+                              t.column("v").to_pylist())
+            if "../logs/a.txt" <= p <= "../logs/b.txt"]
+    assert sorted(got.column("v").to_pylist()) == sorted(want)
+    assert len(want) == 20  # a.txt and b.txt rows only
+
+
+def test_tz_offsets_overflow_means_no_prune_not_crash():
+    """A corrupt / far-out-of-range writer-local timestamp statistic must
+    read as 'cannot convert' (None -> never prune), not crash planning
+    with OverflowError."""
+    from orc_ray.sources.orcfile import (_TsMs, _ts_stat_bounds_ns,
+                                         _tz_offsets_ms)
+
+    assert _tz_offsets_ms(10**18, "America/Los_Angeles") is None
+    assert _tz_offsets_ms(-10**18, "America/Los_Angeles") is None
+    lo_ns, hi_ns = _ts_stat_bounds_ns(
+        _TsMs(10**18, False), _TsMs(10**18, False), "America/Los_Angeles")
+    assert lo_ns is None and hi_ns is None
