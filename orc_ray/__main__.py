@@ -171,6 +171,19 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_fsck(args) -> int:
+    """Distributed integrity scan of an encoded directory: every blob is
+    checked for existence, manifest-recorded size, and crc32. Bytes-only
+    (no decode) — the cheap lake health check to run before trusting a
+    resume or after a storage incident. Exit 2 if anything is bad."""
+    from .pipelines.verify import fsck_encoded
+
+    _ensure_ray(args.cpus)
+    out = fsck_encoded(args.dir, max_bad=args.max_bad)
+    print(json.dumps(out, indent=2))
+    return 2 if out["bad"] else 0
+
+
 def cmd_ingest_orc(args) -> int:
     """Ingest a foreign Apache-ORC lake into the engine's native encoded
     format as ONE streaming pipeline: distributed per-stripe ORC decode
@@ -458,6 +471,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("schema", help="print encoded dataset schema as DDL")
     p.add_argument("--dir", required=True)
     p.set_defaults(fn=cmd_schema)
+
+    p = sub.add_parser(
+        "fsck",
+        help="blob integrity scan (existence + size + crc32, no decode)")
+    p.add_argument("--dir", required=True)
+    p.add_argument("--cpus", type=int, default=None)
+    p.add_argument("--max-bad", type=int, default=100,
+                   help="cap on offending rows returned in the report")
+    p.set_defaults(fn=cmd_fsck)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -69,6 +69,14 @@ class EncoderConfig:
     # (the writer.go:96-104 AddUserMetadata analogue): provenance tags,
     # pipeline versions, etc. Surfaced by manifest_summary and CLI stats.
     user_metadata: dict = field(default_factory=dict)
+    # record a crc32 of each blob's bytes in its manifest meta (Apache ORC
+    # has no file checksums at all — this exceeds the reference). Measured
+    # ~3% of single-core encode (crc32 ~4.5 GB/s over the cache-warm
+    # COMPRESSED bytes, ~1/4 of raw), less at bus-bound concurrency;
+    # enables fsck integrity scans and opt-in decode-time validation
+    # (decode_blob(validate=True)) that fail fast on bit-rot or torn
+    # writes instead of surfacing as opaque codec errors downstream.
+    blob_checksum: bool = True
 
     @classmethod
     def size_priority(cls, **overrides) -> "EncoderConfig":
@@ -101,6 +109,7 @@ class EncoderConfig:
             "fsst_iterations": self.fsst_iterations,
             "bloom_columns": list(self.bloom_columns),
             "user_metadata": dict(self.user_metadata),
+            "blob_checksum": self.blob_checksum,
         }
 
     @classmethod

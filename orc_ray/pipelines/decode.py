@@ -28,7 +28,7 @@ from ..stripe import decode_blob
 
 class StripeDecoder:
     def __init__(self, out_dir: str, columns: list[str] | None = None,
-                 postprocess=None):
+                 postprocess=None, validate: bool = False):
         from .._tuning import prewarm
 
         prewarm()
@@ -38,6 +38,9 @@ class StripeDecoder:
         # lets callers flatten types Ray cannot re-serialize as slice views
         # (dense unions) before the block ever leaves the worker
         self.postprocess = postprocess
+        # crc-check each blob before decoding (BlobIntegrityError names the
+        # blob); off by default — fsck is the bulk integrity scan
+        self.validate = validate
 
     def __call__(self, man: pa.Table):
         from ..state import storage
@@ -46,7 +49,12 @@ class StripeDecoder:
             blob = storage.read_file(
                 storage.join(self.blobs_dir, row["blob_path"]))
             meta = json.loads(row["meta_json"])
-            t = decode_blob(blob, meta, columns=self.columns)
+            try:
+                t = decode_blob(blob, meta, columns=self.columns,
+                                validate=self.validate)
+            except Exception as e:
+                e.add_note(f"while decoding blob {row['blob_path']}")
+                raise
             yield self.postprocess(t) if self.postprocess is not None else t
 
 
@@ -113,11 +121,13 @@ def decode_dataset(
     columns: list[str] | None = None,
     concurrency: int | tuple[int, int] | None = None,
     postprocess=None,
+    validate: bool = False,
 ):
     """Lazy decoded Dataset over an encoded directory. ``postprocess``
     (optional table->table callable) runs inside each decode task on every
     stripe table before the block is emitted — required when the decoded
-    schema contains dense unions, whose slice views Ray cannot serialize."""
+    schema contains dense unions, whose slice views Ray cannot serialize.
+    ``validate=True`` crc-checks each blob before decoding it."""
     from .encode import _default_concurrency
 
     if concurrency is None:
@@ -126,7 +136,8 @@ def decode_dataset(
     return ds.map_batches(
         cls,
         fn_constructor_kwargs={"out_dir": out_dir, "columns": columns,
-                               "postprocess": postprocess},
+                               "postprocess": postprocess,
+                               "validate": validate},
         batch_size=None,
         batch_format="pyarrow",
         concurrency=clamp_concurrency(concurrency, n_units),

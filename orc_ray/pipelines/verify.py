@@ -263,3 +263,134 @@ def verify_encoded(original_ds, out_dir: str) -> dict:
     a = checksum_dataset(original_ds)
     b = checksum_encoded(out_dir)
     return {"match": a == b, "original": a, "decoded": b}
+
+
+_FSCK_SCHEMA = pa.schema([
+    ("partition_id", pa.int64()),
+    ("stripe_id", pa.int64()),
+    ("blob_path", pa.string()),
+    ("status", pa.string()),   # ok | no_crc | missing | size_mismatch | crc_mismatch
+    ("detail", pa.string()),
+])
+
+
+class _FsckShard:
+    """fsck work unit: crc-scan the blobs listed by one manifest shard.
+    Reads blob BYTES only (no decode) — the lake health check is pure
+    sequential I/O + crc32 (~2 GB/s/core), an order of magnitude cheaper
+    than a decode pass."""
+
+    def __init__(self, out_dir: str):
+        import json as _json
+
+        from ..state import manifest as mf
+        from ..state import storage
+
+        self._json = _json
+        self._mf = mf
+        self._storage = storage
+        self.out_dir = out_dir
+        self.blobs_dir = mf.blobs_dir(out_dir)
+
+    def _check_rows(self, man: pa.Table):
+        import zlib as _z
+
+        cols = ["partition_id", "stripe_id", "blob_path", "encoded_bytes",
+                "meta_json"]
+        for row in man.select(cols).to_pylist():
+            path = self._storage.join(self.blobs_dir, row["blob_path"])
+            base = {"partition_id": row["partition_id"],
+                    "stripe_id": row["stripe_id"],
+                    "blob_path": row["blob_path"]}
+            try:
+                blob = self._storage.read_file(path)
+            except (FileNotFoundError, OSError) as e:
+                yield {**base, "status": "missing", "detail": str(e)}
+                continue
+            if len(blob) != row["encoded_bytes"]:
+                yield {**base, "status": "size_mismatch",
+                       "detail": f"manifest says {row['encoded_bytes']} "
+                                 f"bytes, file has {len(blob)}"}
+                continue
+            expect = self._json.loads(row["meta_json"]).get("crc32")
+            if expect is None:
+                yield {**base, "status": "no_crc",
+                       "detail": "legacy manifest predates blob checksums"}
+                continue
+            got = _z.crc32(blob)
+            if got != expect:
+                yield {**base, "status": "crc_mismatch",
+                       "detail": f"expected {expect:#010x}, got {got:#010x}"}
+            else:
+                yield {**base, "status": "ok", "detail": ""}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = []
+        for path in batch.column("path").to_pylist():
+            man = self._mf.read_manifest_file(path)
+            rows.extend(self._check_rows(man))
+        if not rows:
+            return _FSCK_SCHEMA.empty_table()
+        return pa.Table.from_pylist(rows, schema=_FSCK_SCHEMA)
+
+
+def fsck_encoded(out_dir: str, concurrency=None, max_bad: int = 100) -> dict:
+    """Streaming integrity scan of an encoded directory: every blob is
+    checked for existence, manifest-recorded size, and crc32 (when the
+    manifest carries one). Returns ``{"blobs", "ok", "no_crc", "bad",
+    "bad_rows"}`` where ``bad_rows`` holds up to ``max_bad`` offending
+    (partition, stripe, path, status, detail) rows — metadata-sized, so a
+    100k-stripe lake returns a summary, not a blob list."""
+    import ray.data
+
+    from .._tuning import remote_args
+    from .decode import _pool_blocks, clamp_concurrency, manifest_file_items
+    from .encode import _default_concurrency
+
+    if concurrency is None:
+        concurrency = _default_concurrency()
+    items = manifest_file_items(out_dir)
+    n_units = len(items)
+    if not items:
+        return {"blobs": 0, "ok": 0, "no_crc": 0, "bad": 0, "bad_rows": []}
+    ds = ray.data.from_items(
+        items, override_num_blocks=_pool_blocks(n_units, concurrency))
+    checked = ds.map_batches(
+        _FsckShard,
+        fn_constructor_kwargs={"out_dir": out_dir},
+        batch_size=None,
+        batch_format="pyarrow",
+        concurrency=clamp_concurrency(concurrency, n_units),
+        num_cpus=1,
+        **remote_args(),
+    )
+
+    def _summarize(batch: pa.Table) -> pa.Table:
+        import json as _json
+
+        status = batch.column("status").to_pylist()
+        bad = [i for i, s in enumerate(status)
+               if s not in ("ok", "no_crc")]
+        return pa.table({
+            "blobs": pa.array([batch.num_rows], type=pa.int64()),
+            "ok": pa.array([status.count("ok")], type=pa.int64()),
+            "no_crc": pa.array([status.count("no_crc")], type=pa.int64()),
+            "bad": pa.array([len(bad)], type=pa.int64()),
+            "bad_rows_json": pa.array([_json.dumps(
+                [batch.slice(i, 1).to_pylist()[0] for i in bad[:max_bad]]
+            )], type=pa.string()),
+        })
+
+    import json as _json
+
+    parts = checked.map_batches(_summarize, batch_format="pyarrow").take_all()
+    out = {"blobs": 0, "ok": 0, "no_crc": 0, "bad": 0, "bad_rows": []}
+    for p in parts:
+        out["blobs"] += int(p["blobs"])
+        out["ok"] += int(p["ok"])
+        out["no_crc"] += int(p["no_crc"])
+        out["bad"] += int(p["bad"])
+        if len(out["bad_rows"]) < max_bad:
+            out["bad_rows"].extend(
+                _json.loads(p["bad_rows_json"])[: max_bad - len(out["bad_rows"])])
+    return out

@@ -27,6 +27,7 @@ runs unchanged inside ``map_batches`` tasks.
 from __future__ import annotations
 
 import base64
+from zlib import crc32 as _zlib_crc32
 
 import numpy as np
 import pyarrow as pa
@@ -379,7 +380,14 @@ def encode_table(
         "columns": columns_meta,
         "streams": w.streams,
     }
-    return bytes(w.buf), meta
+    blob = bytes(w.buf)
+    if getattr(config, "blob_checksum", True):
+        # integrity record (the reference's ORC format has none): crc32 of
+        # the final blob bytes, validated by decode_blob(validate=True)
+        # and the fsck pipeline; meta-carried so the manifest schema is
+        # unchanged and legacy manifests stay readable.
+        meta["crc32"] = _zlib_crc32(blob)
+    return blob, meta
 
 
 def _select_int(
@@ -734,9 +742,26 @@ def _encode_map_column(name, arr, valid, w, config, selector, group, meta) -> di
 # decode
 # ---------------------------------------------------------------------------
 
-def decode_blob(blob: bytes, meta: dict, columns: list[str] | None = None) -> pa.Table:
+class BlobIntegrityError(ValueError):
+    """A stripe blob's bytes do not match the crc32 its manifest recorded
+    at encode time (bit-rot, torn write, or wrong file)."""
+
+
+def decode_blob(blob: bytes, meta: dict, columns: list[str] | None = None,
+                validate: bool = False) -> pa.Table:
     """Rebuild the Arrow table from a blob + meta (column projection reads
-    only the projected columns' streams, like Reader.Select, cursor.go:29-45)."""
+    only the projected columns' streams, like Reader.Select, cursor.go:29-45).
+
+    ``validate=True`` checks the blob's crc32 against the one recorded in
+    meta at encode time (when present — legacy manifests predate it) and
+    raises :class:`BlobIntegrityError` on mismatch, instead of letting
+    corruption surface as an opaque codec error or silent wrong data."""
+    if validate:
+        expect = meta.get("crc32")
+        if expect is not None and _zlib_crc32(blob) != expect:
+            raise BlobIntegrityError(
+                f"blob checksum mismatch: {len(blob)} bytes, expected "
+                f"crc32 {expect:#010x}, got {_zlib_crc32(blob):#010x}")
     schema = pa.ipc.read_schema(pa.py_buffer(base64.b64decode(meta["schema_b64"])))
     outer = meta.get("outer", "none")
     n_rows = meta["num_rows"]
