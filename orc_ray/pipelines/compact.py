@@ -65,7 +65,10 @@ class CompactionWorker:
         self.dst_dir = dst_dir
         self.config = EncoderConfig.from_dict(config_dict)
         self.selector = SelectorState(self.config)
-        self.dec = StripeDecoder(src_dir)
+        # validate=True: compaction rewrites blobs, so a corrupt source
+        # stripe must fail the task loudly here — silently re-encoding it
+        # would launder bit-rot into a fresh checksum
+        self.dec = StripeDecoder(src_dir, validate=True)
 
     def __call__(self, bins: pa.Table) -> pa.Table:
         import pyarrow.parquet as pq

@@ -137,3 +137,25 @@ def test_fsck_legacy_manifest_counts_no_crc(tmp_path, ray_session):
     rep = fsck_encoded(out)
     assert rep["blobs"] > 0
     assert rep["no_crc"] == rep["blobs"] and rep["bad"] == 0
+
+
+def test_compaction_refuses_corrupt_source(tmp_path, ray_session):
+    """Compaction validates the blobs it rewrites — bit-rot must fail the
+    task, not get re-encoded under a fresh checksum."""
+    import ray
+
+    from orc_ray.pipelines.compact import compact_job
+
+    paths = write_synthetic_shards(str(tmp_path / "in"), num_rows=600,
+                                   num_shards=1, seed=9)
+    src = str(tmp_path / "enc")
+    encode_job(paths, src, EncoderConfig(stripe_target_tokens=20_000),
+               concurrency=1)
+    blob = _blob_paths(src)[0]
+    data = bytearray(open(blob, "rb").read())
+    data[len(data) // 2] ^= 0x02
+    open(blob, "wb").write(bytes(data))
+    with pytest.raises(ray.exceptions.RayTaskError):
+        compact_job(src, str(tmp_path / "compacted"),
+                    EncoderConfig(stripe_target_tokens=1_000_000),
+                    concurrency=1)
